@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Mirrors the reference's single-process Catch2 harness (SURVEY.md §4) but adds
+what it lacks: multi-device sharding tests run on a virtual CPU mesh
+(`--xla_force_host_platform_device_count=8`).
+
+NOTE: the environment's sitecustomize imports jax at interpreter startup and
+registers the TPU (axon) backend, so env vars alone are too late here — we
+must go through jax.config. XLA_FLAGS still works because the CPU client is
+created lazily.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)

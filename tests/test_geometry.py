@@ -1,0 +1,207 @@
+"""Property tests for the geometry core (SURVEY.md §7 phase 1 test gate)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zenslam_tpu.geometry import (
+    so3_exp,
+    so3_log,
+    so3_hat,
+    se3_exp,
+    se3_log,
+    se3_compose,
+    se3_inverse,
+    se3_apply,
+    quat_to_rotmat,
+    rotmat_to_quat,
+    quat_slerp,
+    rotation_angle,
+    PinholeCamera,
+    StereoRig,
+    project,
+    backproject,
+    distort_radtan,
+    undistort_points_radtan,
+    distort_equidistant,
+    undistort_points_equidistant,
+    fundamental_from_rig,
+    triangulate_dlt,
+    triangulate_midpoint,
+    triangulate_rectified,
+)
+from zenslam_tpu.geometry.triangulate import epipolar_residual, triangulation_gates, TriangulationGates
+
+
+def random_rotations(rng, n):
+    w = rng.normal(size=(n, 3)).astype(np.float32)
+    return so3_exp(jnp.asarray(w))
+
+
+def make_test_rig(width=640, height=480):
+    cam = PinholeCamera(
+        fx=jnp.float32(400.0), fy=jnp.float32(400.0),
+        cx=jnp.float32(width / 2), cy=jnp.float32(height / 2),
+        dist=jnp.zeros(4, jnp.float32), width=width, height=height,
+    )
+    R_rl = jnp.eye(3, dtype=jnp.float32)
+    t_rl = jnp.array([-0.11, 0.0, 0.0], jnp.float32)  # right cam 0.11 m to the +x of left
+    return StereoRig(left=cam, right=cam, R_rl=R_rl, t_rl=t_rl,
+                     R_ci=jnp.eye(3, dtype=jnp.float32), t_ci=jnp.zeros(3, jnp.float32))
+
+
+class TestSO3:
+    def test_exp_log_roundtrip(self, rng):
+        w = rng.normal(size=(64, 3)).astype(np.float32)
+        w = w / np.maximum(np.linalg.norm(w, axis=-1, keepdims=True), 1e-6) * rng.uniform(0.0, 3.0, (64, 1)).astype(np.float32)
+        R = so3_exp(jnp.asarray(w))
+        w2 = so3_log(R)
+        np.testing.assert_allclose(np.asarray(w2), w, atol=2e-4)
+
+    def test_small_angle(self):
+        w = jnp.array([[1e-9, 0, 0], [0.0, 0.0, 0.0]], jnp.float32)
+        R = so3_exp(w)
+        np.testing.assert_allclose(np.asarray(R[1]), np.eye(3), atol=1e-7)
+        assert np.all(np.isfinite(np.asarray(so3_log(R))))
+
+    def test_orthonormal(self, rng):
+        R = random_rotations(rng, 32)
+        RtR = jnp.einsum("nij,nik->njk", R, R)
+        np.testing.assert_allclose(np.asarray(RtR), np.broadcast_to(np.eye(3), (32, 3, 3)), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(jnp.linalg.det(R)), 1.0, atol=1e-5)
+
+    def test_log_near_pi(self):
+        w = np.array([[np.pi - 1e-5, 0, 0], [0, np.pi - 1e-5, 0]], np.float32)
+        R = so3_exp(jnp.asarray(w))
+        w2 = np.asarray(so3_log(R))
+        np.testing.assert_allclose(np.abs(w2), np.abs(w), atol=1e-3)
+
+    def test_grad_finite_at_zero(self):
+        g = jax.grad(lambda w: jnp.sum(so3_exp(w)))(jnp.zeros(3, jnp.float32))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestSE3:
+    def test_exp_log_roundtrip(self, rng):
+        xi = rng.normal(size=(32, 6)).astype(np.float32)
+        R, t = se3_exp(jnp.asarray(xi))
+        xi2 = se3_log(R, t)
+        np.testing.assert_allclose(np.asarray(xi2), xi, atol=5e-4)
+
+    def test_compose_inverse(self, rng):
+        Ra = random_rotations(rng, 8)
+        Rb = random_rotations(rng, 8)
+        ta = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+        tb = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+        Rc, tc = se3_compose(Ra, ta, Rb, tb)
+        Ri, ti = se3_inverse(Rb, tb)
+        Rd, td = se3_compose(Rc, tc, Ri, ti)
+        np.testing.assert_allclose(np.asarray(Rd), np.asarray(Ra), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(td), np.asarray(ta), atol=1e-5)
+
+    def test_apply_matches_compose(self, rng):
+        R = random_rotations(rng, 4)
+        t = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+        y = se3_apply(R, t, x)
+        expected = jnp.einsum("nij,nj->ni", R, x) + t
+        np.testing.assert_allclose(np.asarray(y), np.asarray(expected), atol=1e-6)
+
+
+class TestQuaternion:
+    def test_quat_rotmat_roundtrip(self, rng):
+        R = random_rotations(rng, 64)
+        q = rotmat_to_quat(R)
+        R2 = quat_to_rotmat(q)
+        np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-5)
+
+    def test_slerp_endpoints(self, rng):
+        R = random_rotations(rng, 2)
+        q0, q1 = rotmat_to_quat(R[0]), rotmat_to_quat(R[1])
+        np.testing.assert_allclose(np.asarray(quat_slerp(q0, q1, 0.0)), np.asarray(q0), atol=1e-6)
+        np.testing.assert_allclose(np.abs(np.asarray(quat_slerp(q0, q1, 1.0))), np.abs(np.asarray(q1)), atol=1e-5)
+
+    def test_slerp_halfway_angle(self):
+        q0 = jnp.array([1.0, 0, 0, 0], jnp.float32)
+        Rz = so3_exp(jnp.array([0.0, 0.0, 1.0], jnp.float32))
+        q1 = rotmat_to_quat(Rz)
+        qm = quat_slerp(q0, q1, 0.5)
+        Rm = quat_to_rotmat(qm)
+        assert abs(float(rotation_angle(Rm)) - 0.5) < 1e-5
+
+
+class TestDistortion:
+    def test_radtan_roundtrip(self, rng):
+        dist = jnp.array([-0.28, 0.07, 1e-4, -2e-5], jnp.float32)
+        xy = jnp.asarray(rng.uniform(-0.5, 0.5, (128, 2)).astype(np.float32))
+        xy_d = distort_radtan(dist, xy)
+        xy_u = undistort_points_radtan(dist, xy_d)
+        np.testing.assert_allclose(np.asarray(xy_u), np.asarray(xy), atol=1e-5)
+
+    def test_equidistant_roundtrip(self, rng):
+        dist = jnp.array([0.02, -0.01, 0.003, -0.001], jnp.float32)
+        xy = jnp.asarray(rng.uniform(-0.8, 0.8, (128, 2)).astype(np.float32))
+        xy_d = distort_equidistant(dist, xy)
+        xy_u = undistort_points_equidistant(dist, xy_d)
+        np.testing.assert_allclose(np.asarray(xy_u), np.asarray(xy), atol=1e-4)
+
+
+class TestTriangulation:
+    def _scene(self, rng, n=100):
+        rig = make_test_rig()
+        X = np.stack([
+            rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), rng.uniform(2.0, 10.0, n),
+        ], axis=-1).astype(np.float32)
+        R_lw = jnp.eye(3, dtype=jnp.float32)
+        t_lw = jnp.zeros(3, jnp.float32)
+        R_rw = rig.R_rl @ R_lw
+        t_rw = rig.R_rl @ t_lw + rig.t_rl
+        Xj = jnp.asarray(X)
+        uv_l = project(rig.left, se3_apply(R_lw, t_lw, Xj))
+        uv_r = project(rig.right, se3_apply(R_rw, t_rw, Xj))
+        return rig, Xj, (R_lw, t_lw), (R_rw, t_rw), uv_l, uv_r
+
+    def test_dlt_exact(self, rng):
+        rig, X, (R0, t0), (R1, t1), uv0, uv1 = self._scene(rng)
+        Xh = triangulate_dlt(rig.left.K, R0, t0, rig.right.K, R1, t1, uv0, uv1)
+        np.testing.assert_allclose(np.asarray(Xh), np.asarray(X), rtol=1e-2, atol=2e-2)
+
+    def test_midpoint_exact(self, rng):
+        rig, X, (R0, t0), (R1, t1), uv0, uv1 = self._scene(rng)
+        Xh = triangulate_midpoint(rig.left.K, R0, t0, rig.right.K, R1, t1, uv0, uv1)
+        np.testing.assert_allclose(np.asarray(Xh), np.asarray(X), rtol=1e-2, atol=2e-2)
+
+    def test_rectified_fast_path(self, rng):
+        rig, X, _, _, uv0, uv1 = self._scene(rng)
+        cam = rig.left
+        Xh = triangulate_rectified(cam.fx, rig.baseline, cam.cx, rig.right.cx, cam.cy, cam.fy, uv0, uv1)
+        np.testing.assert_allclose(np.asarray(Xh), np.asarray(X), rtol=1e-2, atol=2e-2)
+
+    def test_gates_accept_good_reject_bad(self, rng):
+        rig, X, (R0, t0), _, uv0, uv1 = self._scene(rng)
+        ok = triangulation_gates(rig, R0, t0, X, uv0, uv1, TriangulationGates(max_depth=50.0))
+        assert np.asarray(ok).mean() > 0.95
+        # behind-camera points must be rejected
+        X_bad = X.at[:, 2].set(-X[:, 2])
+        ok_bad = triangulation_gates(rig, R0, t0, X_bad, uv0, uv1)
+        assert not np.asarray(ok_bad).any()
+
+    def test_epipolar_residual_zero_for_true_matches(self, rng):
+        rig, X, _, _, uv0, uv1 = self._scene(rng)
+        F = fundamental_from_rig(rig)
+        res = epipolar_residual(F, uv0, uv1)
+        assert float(jnp.max(res)) < 0.1
+        # shifted right points violate the epipolar constraint
+        res_bad = epipolar_residual(F, uv0, uv1 + jnp.array([0.0, 25.0], jnp.float32))
+        assert float(jnp.median(res_bad)) > 5.0
+
+
+class TestCamera:
+    def test_project_backproject(self, rng):
+        rig = make_test_rig()
+        uv = jnp.asarray(rng.uniform(50, 400, (64, 2)).astype(np.float32))
+        depth = jnp.asarray(rng.uniform(1.0, 20.0, 64).astype(np.float32))
+        x = backproject(rig.left, uv, depth)
+        uv2 = project(rig.left, x)
+        np.testing.assert_allclose(np.asarray(uv2), np.asarray(uv), atol=1e-3)

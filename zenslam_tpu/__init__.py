@@ -1,0 +1,33 @@
+"""zenslam_tpu — a TPU-native stereo visual-inertial SLAM framework.
+
+Re-implements the capabilities of the reference C++ system (vinodkhare/zenslam)
+as an arrays-first JAX/XLA/Pallas framework:
+
+- ``geometry``   — SO(3)/SE(3) Lie ops, camera models, rectification, triangulation
+- ``ops``        — device kernels: image pyramid, FAST/ORB, Hamming matcher (MXU),
+                   pyramidal Lucas-Kanade, batched RANSAC primitives
+- ``frontend``   — detection / tracking / stereo association over masked feature tables
+- ``estimation`` — PnP / essential / rigid pose estimators + fusion cascade
+- ``imu``        — SO(3)-manifold preintegration, gravity estimation, predictors
+- ``backend``    — windowed & Schur bundle adjustment, pose graph, keyframe DB, BoW
+- ``parallel``   — device-mesh sharded bundle adjustment (pjit/shard_map + psum)
+- ``pipeline``   — the per-frame jitted SLAM step and the host runner
+- ``io``         — dataset readers, Kalibr calibration, telemetry CSV
+- ``eval``       — ATE / RPE trajectory metrics
+
+Design stance (vs. the reference, see SURVEY.md §7): fixed-capacity masked
+tables instead of pointer-rich maps, pure jitted stage functions instead of
+threads, ``lax.scan`` over frames for offline throughput, fixed-iteration
+vmapped RANSAC instead of adaptive early-exit loops.
+"""
+
+import jax as _jax
+
+# SLAM geometry is dominated by tiny (3x3/4x4/6x6) matmuls whose accuracy the
+# whole pipeline leans on; default TPU bf16 matmul passes are NOT acceptable
+# there. Hot image/matcher kernels opt into low precision explicitly
+# (bf16 inputs / per-op precision), so this global costs nothing where it
+# matters for speed.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
+__version__ = "0.1.0"
