@@ -1,0 +1,199 @@
+"""Synthetic stereo scene generation for tests, demos, and benchmarks.
+
+The reference is evaluated on TUM-VI/EuRoC datasets which are not available in
+this environment (zero egress); this module renders a controllable substitute:
+a textured two-plane "corridor" world viewed by a moving stereo rig, with
+exact groundtruth poses and landmark depths. Test strategy parity: the
+reference's synthetic-geometry round-trips (`zenslam_tests.cpp:306-499`)
+extended to full image rendering so detection/LK/matching run on real pixels.
+
+Rendering model: each world plane carries a smooth random texture; images are
+formed by inverse-warping the plane texture through the plane-induced
+homography for each camera pose — no external renderer needed, exact GT.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from zenslam_tpu.geometry.camera import PinholeCamera, StereoRig
+
+import jax.numpy as jnp
+
+
+def smooth_texture(rng: np.random.Generator, h: int, w: int, octaves: int = 4) -> np.ndarray:
+    """Multi-octave smooth random texture in [0,1], float32 (h, w)."""
+    tex = np.zeros((h, w), np.float32)
+    for o in range(octaves):
+        hs, ws = max(2, h >> (octaves - o)), max(2, w >> (octaves - o))
+        coarse = rng.standard_normal((hs, ws)).astype(np.float32)
+        # bilinear upsample to (h, w)
+        yi = np.linspace(0, hs - 1, h, dtype=np.float32)
+        xi = np.linspace(0, ws - 1, w, dtype=np.float32)
+        y0 = np.clip(yi.astype(np.int32), 0, hs - 2)
+        x0 = np.clip(xi.astype(np.int32), 0, ws - 2)
+        fy = (yi - y0)[:, None]
+        fx = (xi - x0)[None, :]
+        up = (
+            coarse[y0][:, x0] * (1 - fy) * (1 - fx)
+            + coarse[y0][:, x0 + 1] * (1 - fy) * fx
+            + coarse[y0 + 1][:, x0] * fy * (1 - fx)
+            + coarse[y0 + 1][:, x0 + 1] * fy * fx
+        )
+        tex += up * (0.5 ** (octaves - o))
+    tex -= tex.min()
+    tex /= max(tex.max(), 1e-6)
+    return tex.astype(np.float32)
+
+
+class PlaneWorld(NamedTuple):
+    """Textured planes: n·X = d (plane normal n, offset d) with a texture
+    anchored by in-plane axes (u_axis, v_axis, origin)."""
+
+    normals: np.ndarray    # (P, 3)
+    offsets: np.ndarray    # (P,)
+    origins: np.ndarray    # (P, 3)
+    u_axes: np.ndarray     # (P, 3) texture-u direction (unit)
+    v_axes: np.ndarray     # (P, 3)
+    textures: np.ndarray   # (P, TH, TW)
+    tex_scale: float       # pixels per meter in texture space
+
+
+def make_corridor_world(rng: np.random.Generator, tex_size: int = 1024) -> PlaneWorld:
+    """Two frontal planes at different depths + a floor — enough parallax
+    structure for stereo and temporal tracking."""
+    textures = np.stack([smooth_texture(rng, tex_size, tex_size) for _ in range(3)])
+    normals = np.array(
+        [[0.0, 0.0, -1.0], [0.0, 0.0, -1.0], [0.0, -1.0, 0.0]], np.float32
+    )
+    offsets = np.array([-6.0, -12.0, -1.5], np.float32)  # planes z=6, z=12, y=1.5
+    origins = np.array([[0, 0, 6.0], [0, 0, 12.0], [0, 1.5, 6.0]], np.float32)
+    u_axes = np.array([[1, 0, 0], [1, 0, 0], [1, 0, 0]], np.float32)
+    v_axes = np.array([[0, 1, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    return PlaneWorld(normals, offsets, origins, u_axes, v_axes, textures, tex_scale=64.0)
+
+
+def render_view(world: PlaneWorld, cam: PinholeCamera, R_cw: np.ndarray, t_cw: np.ndarray,
+                height: int, width: int) -> np.ndarray:
+    """Render one camera view by ray-plane intersection + texture lookup.
+
+    Host-side numpy (data generation is host work, ≡ the reference's disk
+    reader thread); returns float32 (H, W) in [0,1].
+    """
+    fx, fy, cx, cy = float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy)
+    R_wc = R_cw.T
+    c = -R_wc @ t_cw  # camera center in world
+    u, v = np.meshgrid(np.arange(width, dtype=np.float32), np.arange(height, dtype=np.float32))
+    rays_cam = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], axis=-1)
+    rays_w = rays_cam @ R_wc.T  # (H, W, 3)
+
+    img = np.zeros((height, width), np.float32)
+    depth = np.full((height, width), np.inf, np.float32)
+    for p in range(world.normals.shape[0]):
+        n = world.normals[p]
+        d = world.offsets[p]
+        denom = rays_w @ n
+        denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        tval = -(c @ n + d) / denom
+        X = c[None, None, :] + tval[..., None] * rays_w  # (H, W, 3)
+        z_cam = tval  # ray parameter ∝ depth along ray; use for z-buffer
+        hit = tval > 0.1
+        rel = X - world.origins[p]
+        tu = (rel @ world.u_axes[p]) * world.tex_scale
+        tv = (rel @ world.v_axes[p]) * world.tex_scale
+        TH, TW = world.textures[p].shape
+        tui = np.mod(tu, TW - 1)
+        tvi = np.mod(tv, TH - 1)
+        x0 = tui.astype(np.int32)
+        y0 = tvi.astype(np.int32)
+        fxw = tui - x0
+        fyw = tvi - y0
+        tex = world.textures[p]
+        val = (
+            tex[y0, x0] * (1 - fxw) * (1 - fyw)
+            + tex[y0, np.minimum(x0 + 1, TW - 1)] * fxw * (1 - fyw)
+            + tex[np.minimum(y0 + 1, TH - 1), x0] * (1 - fxw) * fyw
+            + tex[np.minimum(y0 + 1, TH - 1), np.minimum(x0 + 1, TW - 1)] * fxw * fyw
+        )
+        closer = hit & (z_cam < depth)
+        img = np.where(closer, val, img)
+        depth = np.where(closer, z_cam, depth)
+    return img
+
+
+def default_rig(width: int = 512, height: int = 384) -> StereoRig:
+    """EuRoC-like stereo rig (rectified pinhole, 0.11 m baseline)."""
+    cam = PinholeCamera(
+        fx=jnp.float32(380.0), fy=jnp.float32(380.0),
+        cx=jnp.float32(width / 2.0), cy=jnp.float32(height / 2.0),
+        dist=jnp.zeros(4, jnp.float32), width=width, height=height,
+    )
+    return StereoRig(
+        left=cam, right=cam,
+        R_rl=jnp.eye(3, dtype=jnp.float32),
+        t_rl=jnp.array([-0.11, 0.0, 0.0], jnp.float32),
+        R_ci=jnp.eye(3, dtype=jnp.float32),
+        t_ci=jnp.zeros(3, jnp.float32),
+    )
+
+
+class SyntheticSequence(NamedTuple):
+    left: np.ndarray        # (T, H, W) float32
+    right: np.ndarray       # (T, H, W) float32
+    R_lw: np.ndarray        # (T, 3, 3) world->left-cam
+    t_lw: np.ndarray        # (T, 3)
+    timestamps: np.ndarray  # (T,) seconds
+    rig: StereoRig
+
+
+def make_sequence(
+    rng: np.random.Generator,
+    n_frames: int = 20,
+    width: int = 512,
+    height: int = 384,
+    motion: str = "strafe",
+    dt: float = 0.05,
+    speed: float = 0.4,
+) -> SyntheticSequence:
+    """Render a stereo sequence with known groundtruth.
+
+    motion: 'strafe' (x translation), 'forward' (z), 'arc' (translation + yaw).
+    """
+    from zenslam_tpu.geometry.lie import so3_exp  # local import to keep io light
+
+    world = make_corridor_world(rng)
+    rig = default_rig(width, height)
+    R_rl = np.asarray(rig.R_rl, np.float64)
+    t_rl = np.asarray(rig.t_rl, np.float64)
+
+    lefts, rights, Rs, ts = [], [], [], []
+    for i in range(n_frames):
+        s = i * dt * speed
+        if motion == "strafe":
+            c_w = np.array([s, 0.0, 0.0])
+            R_wc = np.eye(3)
+        elif motion == "forward":
+            c_w = np.array([0.0, 0.0, s])
+            R_wc = np.eye(3)
+        else:  # arc
+            yaw = 0.2 * i * dt
+            R_wc = np.asarray(so3_exp(jnp.array([0.0, yaw, 0.0], jnp.float32)), np.float64)
+            c_w = np.array([s, 0.02 * np.sin(0.5 * i), 0.3 * s])
+        R_cw = R_wc.T
+        t_cw = -R_cw @ c_w
+        R_rcw = R_rl @ R_cw
+        t_rcw = R_rl @ t_cw + t_rl
+        lefts.append(render_view(world, rig.left, R_cw, t_cw, height, width))
+        rights.append(render_view(world, rig.right, R_rcw, t_rcw, height, width))
+        Rs.append(R_cw.astype(np.float32))
+        ts.append(t_cw.astype(np.float32))
+    return SyntheticSequence(
+        left=np.stack(lefts),
+        right=np.stack(rights),
+        R_lw=np.stack(Rs),
+        t_lw=np.stack(ts),
+        timestamps=np.arange(n_frames, dtype=np.float64) * dt,
+        rig=rig,
+    )
