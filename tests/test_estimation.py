@@ -1,0 +1,244 @@
+"""Estimation-layer tests: PnP, rigid, F/E, cascade, fusion
+(SURVEY.md §7 phase 4 test gate; mirrors the reference's synthetic
+generate→perturb→estimate→assert pattern)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zenslam_tpu.geometry import so3_exp, se3_apply, rotation_angle, PinholeCamera, project
+from zenslam_tpu.estimation import (
+    pnp_dlt,
+    solve_pnp_ransac,
+    umeyama,
+    solve_rigid_ransac,
+    solve_fundamental_ransac,
+    solve_essential_ransac,
+    recover_pose_from_essential,
+    estimate_pose_cascade,
+    fuse_poses,
+    PoseCandidate,
+)
+from zenslam_tpu.estimation.epipolar import essential_8pt
+from tests.test_geometry import make_test_rig
+
+
+def scene(rng, n=128, noise=0.0, outlier_frac=0.0):
+    """World points + GT pose + pixel observations with optional corruption."""
+    cam = make_test_rig().left
+    K = cam.K
+    X = np.stack([rng.uniform(-3, 3, n), rng.uniform(-2, 2, n), rng.uniform(3, 12, n)], -1).astype(np.float32)
+    w = rng.normal(0, 0.2, 3).astype(np.float32)
+    R = so3_exp(jnp.asarray(w))
+    t = jnp.asarray(rng.normal(0, 0.3, 3).astype(np.float32))
+    uv = np.asarray(project(cam, se3_apply(R, t, jnp.asarray(X))))
+    if noise:
+        uv = uv + rng.normal(0, noise, uv.shape).astype(np.float32)
+    n_out = int(outlier_frac * n)
+    if n_out:
+        sel = rng.choice(n, n_out, replace=False)
+        uv[sel] = rng.uniform(0, 600, (n_out, 2)).astype(np.float32)
+    return cam, K, jnp.asarray(X), R, t, jnp.asarray(uv)
+
+
+class TestPnP:
+    def test_dlt_exact(self, rng):
+        cam, K, X, R, t, uv = scene(rng, n=32)
+        xn = jnp.stack([(uv[:, 0] - cam.cx) / cam.fx, (uv[:, 1] - cam.cy) / cam.fy], -1)
+        Rh, th = pnp_dlt(X[:12], xn[:12])
+        assert float(rotation_angle(Rh @ R.T)) < 1e-3
+        np.testing.assert_allclose(np.asarray(th), np.asarray(t), atol=5e-3)
+
+    def test_ransac_with_outliers(self, rng):
+        cam, K, X, R, t, uv = scene(rng, n=128, noise=0.5, outlier_frac=0.3)
+        res = solve_pnp_ransac(jax.random.PRNGKey(0), K, X, uv, jnp.ones(128, bool),
+                               threshold=3.0, iters=256)
+        assert bool(res["ok"])
+        assert int(res["n_inliers"]) > 70
+        assert float(rotation_angle(res["R"] @ R.T)) < 0.01
+        np.testing.assert_allclose(np.asarray(res["t"]), np.asarray(t), atol=0.03)
+
+    def test_ransac_respects_mask(self, rng):
+        cam, K, X, R, t, uv = scene(rng, n=64)
+        # corrupt ALL masked-out entries: they must not affect the solution
+        uv_bad = uv.at[32:].set(5000.0)
+        valid = jnp.arange(64) < 32
+        res = solve_pnp_ransac(jax.random.PRNGKey(1), K, X, uv_bad, valid, iters=128)
+        assert bool(res["ok"])
+        assert float(rotation_angle(res["R"] @ R.T)) < 0.01
+        assert not bool(res["inliers"][32:].any())
+
+    def test_few_points_not_ok(self, rng):
+        cam, K, X, R, t, uv = scene(rng, n=16)
+        valid = jnp.arange(16) < 3  # below the 4-inlier floor
+        res = solve_pnp_ransac(jax.random.PRNGKey(2), K, X, uv, valid, iters=64)
+        assert not bool(res["ok"])
+
+
+class TestRigid:
+    def test_umeyama_exact(self, rng):
+        src = jnp.asarray(rng.normal(0, 2, (32, 3)).astype(np.float32))
+        R = so3_exp(jnp.asarray(rng.normal(0, 0.5, 3).astype(np.float32)))
+        t = jnp.asarray(rng.normal(0, 1, 3).astype(np.float32))
+        dst = src @ R.T + t
+        Rh, th, s = umeyama(src, dst)
+        assert float(rotation_angle(Rh @ R.T)) < 1e-4
+        np.testing.assert_allclose(np.asarray(th), np.asarray(t), atol=1e-4)
+        assert abs(float(s) - 1.0) < 1e-5
+
+    def test_ransac_with_outliers(self, rng):
+        src = rng.normal(0, 2, (100, 3)).astype(np.float32)
+        R = so3_exp(jnp.asarray(rng.normal(0, 0.5, 3).astype(np.float32)))
+        t = jnp.asarray(rng.normal(0, 1, 3).astype(np.float32))
+        dst = np.array(jnp.asarray(src) @ R.T + t)
+        dst[:30] += rng.normal(0, 2.0, (30, 3)).astype(np.float32)  # outliers
+        dst[30:] += rng.normal(0, 0.005, (70, 3)).astype(np.float32)  # mild noise
+        res = solve_rigid_ransac(jax.random.PRNGKey(0), jnp.asarray(src), jnp.asarray(dst),
+                                 jnp.ones(100, bool), threshold=0.05, iters=256)
+        assert bool(res["ok"]) and int(res["n_inliers"]) >= 60
+        assert float(rotation_angle(res["R"] @ R.T)) < 0.01
+        np.testing.assert_allclose(np.asarray(res["t"]), np.asarray(t), atol=0.02)
+
+
+class TestEpipolar:
+    def _two_view(self, rng, n=128, noise=0.0, outlier_frac=0.0):
+        cam = make_test_rig().left
+        K = cam.K
+        X = np.stack([rng.uniform(-3, 3, n), rng.uniform(-2, 2, n), rng.uniform(4, 12, n)], -1).astype(np.float32)
+        Rab = so3_exp(jnp.asarray([0.03, -0.05, 0.02], dtype=jnp.float32))
+        tab = jnp.asarray([0.3, 0.05, 0.1], dtype=jnp.float32)  # frame a -> frame b
+        Xa = jnp.asarray(X)
+        pa = np.asarray(project(cam, Xa))
+        pb = np.asarray(project(cam, se3_apply(Rab, tab, Xa)))
+        if noise:
+            pa = pa + rng.normal(0, noise, pa.shape).astype(np.float32)
+            pb = pb + rng.normal(0, noise, pb.shape).astype(np.float32)
+        n_out = int(outlier_frac * n)
+        if n_out:
+            sel = rng.choice(n, n_out, replace=False)
+            pb[sel] += rng.uniform(20, 80, (n_out, 2)).astype(np.float32)
+        return K, Rab, tab, jnp.asarray(pa), jnp.asarray(pb), Xa
+
+    def test_fundamental_ransac(self, rng):
+        K, Rab, tab, pa, pb, _ = self._two_view(rng, noise=0.3, outlier_frac=0.25)
+        res = solve_fundamental_ransac(jax.random.PRNGKey(0), pa, pb, jnp.ones(128, bool),
+                                       threshold=2.0, iters=256)
+        assert bool(res["ok"])
+        assert int(res["n_inliers"]) > 80
+
+    def test_essential_recover_pose(self, rng):
+        K, Rab, tab, pa, pb, Xa = self._two_view(rng, noise=0.2)
+        res = solve_essential_ransac(jax.random.PRNGKey(0), K, pa, pb, jnp.ones(128, bool),
+                                     threshold=1.5, iters=256)
+        assert bool(res["ok"])
+        R, t, n_good = recover_pose_from_essential(res["E"], K, pa, pb, res["inliers"])
+        assert float(rotation_angle(R @ Rab.T)) < 0.02
+        # translation up to scale
+        t_dir = np.asarray(t) / np.linalg.norm(np.asarray(t))
+        t_gt = np.asarray(tab) / np.linalg.norm(np.asarray(tab))
+        assert abs(float(np.dot(t_dir, t_gt))) > 0.99
+        assert int(n_good) > 100
+
+    def test_essential_8pt_epipolar_constraint(self, rng):
+        K, Rab, tab, pa, pb, _ = self._two_view(rng)
+        fx, cx, cy = K[0, 0], K[0, 2], K[1, 2]
+        na = (pa - jnp.array([cx, cy])) / fx
+        nb = (pb - jnp.array([cx, cy])) / fx
+        E = essential_8pt(na, nb)
+        ones = jnp.ones((128, 1))
+        qa = jnp.concatenate([na, ones], -1)
+        qb = jnp.concatenate([nb, ones], -1)
+        resid = jnp.abs(jnp.sum(qb * (qa @ E.T), axis=-1))
+        # f32 eigh of the squared system: algebraic residual ~1e-4..1e-3 is
+        # expected; what matters downstream (pose recovery) is tested above
+        assert float(jnp.median(resid)) < 1e-3
+        assert float(jnp.max(resid)) < 5e-3
+
+
+class TestCascade:
+    def test_prefers_pnp_cam0(self, rng):
+        rig = make_test_rig()
+        cam, K, X, R, t, uv = scene(rng, n=128, noise=0.3)
+        dummyX = jnp.zeros((16, 3))
+        dummyU = jnp.zeros((16, 2))
+        est = estimate_pose_cascade(
+            jax.random.PRNGKey(0), rig,
+            X, uv, jnp.ones(128, bool),
+            dummyX, dummyU, jnp.zeros(16, bool),
+            dummyX, dummyX, jnp.zeros(16, bool),
+            jnp.eye(3), jnp.zeros(3),
+        )
+        assert bool(est.ok) and int(est.method) == 0
+        assert float(rotation_angle(est.R @ R.T)) < 0.01
+        np.testing.assert_allclose(np.asarray(est.t), np.asarray(t), atol=0.03)
+
+    def test_falls_back_to_rigid(self, rng):
+        rig = make_test_rig()
+        # no 2D correspondences at all; only 3D-3D
+        src = rng.normal(0, 2, (64, 3)).astype(np.float32) + np.array([0, 0, 6], np.float32)
+        R_corr = so3_exp(jnp.asarray([0.01, 0.02, -0.01], dtype=jnp.float32))
+        t_corr = jnp.asarray([0.05, -0.02, 0.1], dtype=jnp.float32)
+        dst = jnp.asarray(src) @ R_corr.T + t_corr
+        dummyX = jnp.zeros((8, 3)); dummyU = jnp.zeros((8, 2))
+        R_pred, t_pred = jnp.eye(3), jnp.zeros(3)
+        est = estimate_pose_cascade(
+            jax.random.PRNGKey(0), rig,
+            dummyX, dummyU, jnp.zeros(8, bool),
+            dummyX, dummyU, jnp.zeros(8, bool),
+            jnp.asarray(src), dst, jnp.ones(64, bool),
+            R_pred, t_pred,
+        )
+        assert bool(est.ok) and int(est.method) == 2
+
+    def test_total_failure_gives_prediction(self, rng):
+        rig = make_test_rig()
+        dummyX = jnp.zeros((8, 3)); dummyU = jnp.zeros((8, 2))
+        R_pred = so3_exp(jnp.asarray([0.1, 0.0, 0.0], dtype=jnp.float32))
+        t_pred = jnp.asarray([1.0, 2.0, 3.0], dtype=jnp.float32)
+        est = estimate_pose_cascade(
+            jax.random.PRNGKey(0), rig,
+            dummyX, dummyU, jnp.zeros(8, bool),
+            dummyX, dummyU, jnp.zeros(8, bool),
+            dummyX, dummyX, jnp.zeros(8, bool),
+            R_pred, t_pred,
+        )
+        assert not bool(est.ok) and int(est.method) == 3
+        np.testing.assert_allclose(np.asarray(est.t), np.asarray(t_pred))
+
+
+class TestFusion:
+    def test_weighted_fusion_tracks_best(self):
+        R_good = so3_exp(jnp.asarray([0.0, 0.0, 0.1], dtype=jnp.float32))
+        t_good = jnp.asarray([1.0, 0.0, 0.0], dtype=jnp.float32)
+        R_bad = so3_exp(jnp.asarray([0.5, 0.5, 0.0], dtype=jnp.float32))
+        t_bad = jnp.asarray([5.0, 5.0, 5.0], dtype=jnp.float32)
+        cands = PoseCandidate(
+            R=jnp.stack([R_good, R_bad]),
+            t=jnp.stack([t_good, t_bad]),
+            inlier_ratio=jnp.asarray([0.9, 0.1]),
+            mean_err=jnp.asarray([0.5, 10.0]),
+            n_inliers=jnp.asarray([80, 5]),
+            is_line=jnp.asarray([False, False]),
+            valid=jnp.asarray([True, True]),
+        )
+        R, t, conf, cov = fuse_poses(cands)
+        assert float(rotation_angle(R @ R_good.T)) < 1e-5
+        assert np.linalg.norm(np.asarray(t) - np.asarray(t_good)) < 0.5
+        assert float(conf) > 0.3
+        # covariance shrinks with confidence
+        assert np.asarray(cov).shape == (6,)
+
+    def test_invalid_candidates_ignored(self):
+        R = jnp.stack([jnp.eye(3)] * 2)
+        t = jnp.stack([jnp.zeros(3), jnp.full(3, 9.0)])
+        cands = PoseCandidate(
+            R=R, t=t,
+            inlier_ratio=jnp.asarray([0.5, 0.99]),
+            mean_err=jnp.asarray([1.0, 0.01]),
+            n_inliers=jnp.asarray([50, 100]),
+            is_line=jnp.asarray([False, False]),
+            valid=jnp.asarray([True, False]),
+        )
+        _, t_f, conf, _ = fuse_poses(cands)
+        np.testing.assert_allclose(np.asarray(t_f), 0.0, atol=1e-5)

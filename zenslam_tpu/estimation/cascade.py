@@ -1,0 +1,95 @@
+"""High-level pose estimation cascade — what the live loop calls.
+
+Parity target: `estimator::estimate_pose_new` (`utils/estimator.cpp:249-318`):
+  1. 3D-2D PnP-RANSAC on cam0 (landmarks vs left-image keypoints)
+  2. fallback: PnP on cam1, pose transferred through the stereo extrinsics
+     (`estimator.cpp:272-276`)
+  3. fallback: 3D-3D rigid RANSAC between current-frame triangulations and
+     map landmarks (`estimator.cpp:283-314`)
+  4. total failure: caller substitutes the predicted pose
+     (`slam_thread.cpp:157-166` graceful degradation)
+
+TPU shape: the reference's exception-driven cascade becomes three always-run
+fixed-shape estimators + a priority select (`jnp.where` chain). The estimators
+are cheap (hundreds of microseconds) next to tracking, so the dead branches
+cost little and the graph stays static.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from zenslam_tpu.estimation.pnp import solve_pnp_ransac
+from zenslam_tpu.estimation.rigid import solve_rigid_ransac
+from zenslam_tpu.geometry.camera import StereoRig
+from zenslam_tpu.geometry.lie import se3_compose, se3_inverse
+
+
+class PoseEstimate(NamedTuple):
+    R: jnp.ndarray          # (3,3) world->left-cam
+    t: jnp.ndarray          # (3,)
+    ok: jnp.ndarray         # () bool
+    n_inliers: jnp.ndarray  # () int32
+    mean_err: jnp.ndarray   # () float32
+    method: jnp.ndarray     # () int32: 0=pnp_cam0, 1=pnp_cam1, 2=rigid3d3d, 3=fallback
+    inliers0: jnp.ndarray   # (N,) bool — inlier mask of the cam0 correspondences
+
+
+@functools.partial(jax.jit, static_argnames=("pnp_iters", "rigid_iters"))
+def estimate_pose_cascade(
+    key,
+    rig: StereoRig,
+    # 3D-2D correspondences, cam0 (left): world landmarks vs pixels
+    X0, uv0, valid0,
+    # 3D-2D correspondences, cam1 (right)
+    X1, uv1, valid1,
+    # 3D-3D correspondences: current-frame world-points (via predicted pose)
+    # vs map landmarks
+    src3d, dst3d, valid3d,
+    # fallback pose (prediction) if everything fails
+    R_pred, t_pred,
+    pnp_threshold: float = 3.0,
+    rigid_threshold: float = 0.05,
+    min_inliers: int = 4,
+    pnp_iters: int = 256,
+    rigid_iters: int = 256,
+):
+    """Returns the left-camera pose T_cam0_world as a PoseEstimate."""
+    k0, k1, k2 = jax.random.split(key, 3)
+
+    r0 = solve_pnp_ransac(k0, rig.left.K, X0, uv0, valid0,
+                          threshold=pnp_threshold, iters=pnp_iters)
+    r1 = solve_pnp_ransac(k1, rig.right.K, X1, uv1, valid1,
+                          threshold=pnp_threshold, iters=pnp_iters)
+    r2 = solve_rigid_ransac(k2, src3d, dst3d, valid3d,
+                            threshold=rigid_threshold, iters=rigid_iters)
+
+    ok0 = r0["ok"] & (r0["n_inliers"] >= min_inliers)
+    ok1 = r1["ok"] & (r1["n_inliers"] >= min_inliers)
+    ok2 = r2["ok"] & (r2["n_inliers"] >= max(min_inliers, 3))
+
+    # cam1 pose -> cam0 pose: T_c0_w = T_rl^-1 ∘ T_c1_w  (`estimator.cpp:272-276`)
+    Rlr, tlr = se3_inverse(rig.R_rl, rig.t_rl)
+    R1c0, t1c0 = se3_compose(Rlr, tlr, r1["R"], r1["t"])
+
+    # rigid gives T that maps src (current-frame coords under predicted pose)
+    # onto dst (map): here we feed world-frame pairs so (R,t) corrects the
+    # predicted pose: T_w'_w. New cam pose = T_pred ∘ (T_w'_w)^-1.
+    Rc, tc = se3_inverse(r2["R"], r2["t"])
+    R2c0, t2c0 = se3_compose(R_pred, t_pred, Rc, tc)
+
+    def pick(field0, field1, field2, fallback):
+        return jnp.where(ok0, field0, jnp.where(ok1, field1, jnp.where(ok2, field2, fallback)))
+
+    R = pick(r0["R"], R1c0, R2c0, R_pred)
+    t = pick(r0["t"], t1c0, t2c0, t_pred)
+    method = jnp.where(ok0, 0, jnp.where(ok1, 1, jnp.where(ok2, 2, 3))).astype(jnp.int32)
+    ok = ok0 | ok1 | ok2
+    n_inl = pick(r0["n_inliers"], r1["n_inliers"], r2["n_inliers"], jnp.asarray(0))
+    mean_err = pick(r0["mean_err"], r1["mean_err"], r2["mean_err"], jnp.asarray(jnp.inf, jnp.float32))
+    return PoseEstimate(R=R, t=t, ok=ok, n_inliers=n_inl, mean_err=mean_err,
+                        method=method, inliers0=r0["inliers"])
