@@ -1,0 +1,77 @@
+"""Parity tests: the Pallas LK kernel (interpret mode on CPU) must agree with
+the scanned-XLA reference implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zenslam_tpu.ops.image import build_pyramid, remap
+from zenslam_tpu.ops.lk import pyramidal_lk, lk_forward_backward, build_lk_pyramid
+from zenslam_tpu.ops.lk_pallas import pyramidal_lk_pallas, lk_forward_backward_pallas
+from zenslam_tpu.io.synthetic import smooth_texture
+
+
+@pytest.fixture(scope="module")
+def shifted_pair():
+    tex = smooth_texture(np.random.default_rng(7), 256, 320)
+    img0 = jnp.asarray(tex)
+    H, W = tex.shape
+    my, mx = np.meshgrid(np.arange(H, dtype=np.float32), np.arange(W, dtype=np.float32), indexing="ij")
+    img1 = remap(img0, jnp.asarray(mx - 3.2), jnp.asarray(my + 2.1))
+    return img0, img1
+
+
+class TestPallasLK:
+    def test_matches_jax_reference(self, shifted_pair):
+        img0, img1 = shifted_pair
+        s0, sz = build_lk_pyramid(img0, 3)
+        s1, _ = build_lk_pyramid(img1, 3)
+        rng = np.random.default_rng(1)
+        xy = jnp.asarray(rng.uniform(40, 200, (24, 2)).astype(np.float32))
+        valid = jnp.ones(24, bool)
+        tr_p, ok_p, err_p = pyramidal_lk_pallas(s0, s1, sz, xy, valid,
+                                                radius=10, iters=10, interpret=True)
+        tr_j, ok_j, _ = pyramidal_lk(build_pyramid(img0, 3), build_pyramid(img1, 3),
+                                     xy, valid, radius=10, iters=10)
+        op, oj = np.asarray(ok_p), np.asarray(ok_j)
+        assert op.sum() >= 20
+        both = op & oj
+        np.testing.assert_allclose(np.asarray(tr_p)[both], np.asarray(tr_j)[both], atol=0.02)
+        # true shift recovered
+        fe = np.linalg.norm(np.asarray(tr_p - xy)[op] - [3.2, -2.1], axis=-1)
+        assert np.median(fe) < 0.1
+
+    def test_invalid_points_passthrough(self, shifted_pair):
+        img0, img1 = shifted_pair
+        s0, sz = build_lk_pyramid(img0, 3)
+        s1, _ = build_lk_pyramid(img1, 3)
+        xy = jnp.array([[100.0, 100.0], [150.0, 120.0]])
+        valid = jnp.array([True, False])
+        tr, ok, err = pyramidal_lk_pallas(s0, s1, sz, xy, valid, interpret=True)
+        assert not bool(ok[1])
+        np.testing.assert_allclose(np.asarray(tr)[1], np.asarray(xy)[1])
+
+    def test_fb_rejects_corruption(self, shifted_pair):
+        img0, _ = shifted_pair
+        img1 = np.array(np.asarray(img0))
+        img1[:, 160:] = 0.5
+        s0, sz = build_lk_pyramid(img0, 3)
+        s1, _ = build_lk_pyramid(jnp.asarray(img1), 3)
+        rng = np.random.default_rng(2)
+        xy = jnp.asarray(rng.uniform(40, 200, (16, 2)).astype(np.float32))
+        valid = jnp.ones(16, bool)
+        tr, ok, _ = lk_forward_backward_pallas(s0, s1, sz, xy, valid, interpret=True)
+        right = np.asarray(xy)[:, 0] > 180
+        assert (~np.asarray(ok)[right]).mean() > 0.5
+
+    def test_initial_flow(self, shifted_pair):
+        img0, img1 = shifted_pair
+        s0, sz = build_lk_pyramid(img0, 3)
+        s1, _ = build_lk_pyramid(img1, 3)
+        xy = jnp.array([[100.0, 100.0], [120.0, 80.0]])
+        valid = jnp.ones(2, bool)
+        init = xy + jnp.array([3.0, -2.0])
+        tr, ok, _ = pyramidal_lk_pallas(s0, s1, sz, xy, valid, init_pts=init, interpret=True)
+        fe = np.linalg.norm(np.asarray(tr - xy) - [3.2, -2.1], axis=-1)
+        assert np.asarray(ok).all() and fe.max() < 0.1

@@ -70,7 +70,7 @@ def estimate_pose_cascade(
 
     ok0 = r0["ok"] & (r0["n_inliers"] >= min_inliers)
     ok1 = r1["ok"] & (r1["n_inliers"] >= min_inliers)
-    ok2 = r2["ok"] & (r2["n_inliers"] >= max(min_inliers, 3))
+    ok2 = r2["ok"] & (r2["n_inliers"] >= jnp.maximum(min_inliers, 3))
 
     # cam1 pose -> cam0 pose: T_c0_w = T_rl^-1 ∘ T_c1_w  (`estimator.cpp:272-276`)
     Rlr, tlr = se3_inverse(rig.R_rl, rig.t_rl)

@@ -24,7 +24,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.int32(1 << 20)
+# plain python int: a module-level jnp constant would be materialized on the
+# import-time default device and then baked into every jit as a device constant
+BIG = 1 << 20
 
 
 def unpack_bits(packed):

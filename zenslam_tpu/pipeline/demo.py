@@ -1,0 +1,50 @@
+"""Demo: run the full SLAM loop on a rendered synthetic stereo sequence and
+report ATE + throughput. `python -m zenslam_tpu.pipeline.demo [n_frames]`."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import numpy as np
+
+from zenslam_tpu.io.synthetic import make_sequence
+from zenslam_tpu.pipeline import SlamConfig, run_sequence, init_state
+from zenslam_tpu.pipeline.step import slam_step
+from zenslam_tpu.eval.metrics import ate_rmse, rpe_rmse, camera_positions
+
+
+def main(n_frames: int = 30):
+    print(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(11)
+    print(f"rendering {n_frames}-frame synthetic stereo sequence…")
+    seq = make_sequence(rng, n_frames=n_frames, motion="arc", speed=0.5)
+    cfg = SlamConfig()
+
+    # warm up (compile)
+    t0 = time.time()
+    state = init_state(cfg, seq.left[0].shape)
+    state, _ = slam_step(cfg, seq.rig, state, seq.left[0], seq.right[0])
+    jax.block_until_ready(state.t_cw)
+    print(f"compile: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    state, tel = run_sequence(cfg, seq.rig, seq.left, seq.right)
+    jax.block_until_ready(state.t_cw)
+    dt = time.time() - t0
+
+    est = camera_positions(tel.R_cw, tel.t_cw)
+    gt = camera_positions(seq.R_lw, seq.t_lw)
+    ate = ate_rmse(est, gt)
+    rpe = rpe_rmse(est, gt)
+    fps = n_frames / dt
+    print(f"frames: {n_frames}  pose_ok: {int(tel.pose_ok.sum())}  "
+          f"keyframes: {int(tel.is_keyframe.sum())}  map: {int(tel.map_size[-1])}")
+    print(f"ATE RMSE: {ate * 1000:.1f} mm   RPE RMSE: {rpe * 1000:.1f} mm")
+    print(f"throughput: {fps:.1f} frames/s ({dt / n_frames * 1000:.1f} ms/frame)")
+    return ate, fps
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 30)

@@ -1,0 +1,57 @@
+"""Host-side sequence runner: per-frame streaming or one `lax.scan`.
+
+Replaces the reference's threading shell (reader_thread → queue → slam_thread,
+`slam_thread.cpp:96-116` / `reader_thread.h:39-72`): on TPU the pipeline
+overlap comes from XLA's async dispatch — the host enqueues frame t+1 while
+the device still computes frame t — and from `lax.scan` for offline batches.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zenslam_tpu.geometry.camera import StereoRig
+from zenslam_tpu.pipeline.state import SlamConfig, init_state
+from zenslam_tpu.pipeline.step import slam_step
+
+
+def run_sequence(
+    cfg: SlamConfig,
+    rig: StereoRig,
+    left: np.ndarray,
+    right: np.ndarray,
+    seed: int = 0,
+    mode: str = "stream",
+    state=None,
+):
+    """Run SLAM over a (T, H, W) stereo sequence.
+
+    mode='stream': python loop (async dispatch pipelining, telemetry per frame)
+    mode='scan'  : single lax.scan — maximal device residency for offline runs.
+
+    Returns (final_state, telemetry_pytree_stacked_over_T).
+    """
+    T, H, W = left.shape
+    if state is None:
+        state = init_state(cfg, (H, W), seed=seed)
+
+    if mode == "scan":
+        def body(st, imgs):
+            il, ir = imgs
+            st, tel = slam_step(cfg, rig, st, il, ir)
+            return st, tel
+
+        imgs = (jnp.asarray(left), jnp.asarray(right))
+        state, telem = jax.lax.scan(body, state, imgs)
+        return state, jax.tree.map(np.asarray, telem)
+
+    telems = []
+    for t in range(T):
+        state, tel = slam_step(cfg, rig, state, jnp.asarray(left[t]), jnp.asarray(right[t]))
+        telems.append(tel)
+    telem = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *telems)
+    return state, telem

@@ -1,0 +1,183 @@
+"""SLAM state as fixed-capacity masked pytrees.
+
+This replaces the reference's pointer-rich data model (SURVEY.md §7):
+- frame inheritance chain sensor⊂processed⊂tracked⊂estimated
+  (`frame/processed.h`, `frame/tracked.h`, `frame/estimated.h`)  →  FeatureTable
+- `types::map<T>` keyed by monotone global feature index (`types/map.h:23-100`)
+  →  landmark SLOT indices (`lm_idx` int32 into LandmarkMap) + stable `track_id`
+- `point3d_cloud` (map + nanoflann KD-tree, `types/point3d_cloud.h`)
+  →  LandmarkMap arrays; neighbor queries are masked brute-force (map ≤ 10⁴,
+     one (N,M) distance matrix is MXU food — no tree needed)
+
+All tables are (capacity, …) arrays + validity masks so every per-frame
+computation has static shapes under jit/scan.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SlamConfig(NamedTuple):
+    """Static configuration (python ints/floats — hashable for jit closure).
+
+    Defaults mirror the reference's options (`all_options.h:35-156`,
+    `zenslam_options/options/tumvi.yaml`) where applicable.
+    """
+
+    # capacities
+    max_keypoints: int = 512
+    max_landmarks: int = 8192
+    # image / pyramid
+    pyramid_levels: int = 3
+    # detection  (`detection_options.h`: cell 16, FAST)
+    cell_size: int = 16
+    fast_threshold: float = 10.0 / 255.0
+    detect_border: int = 16
+    # tracking   (`tracking_options.h`: klt window, fb check)
+    klt_radius: int = 10
+    klt_iters: int = 10
+    fb_threshold: float = 1.0
+    epipolar_threshold: float = 2.0
+    landmark_match_distance: int = 64  # hamming
+    # triangulation (`triangulation_options` defaults: min_disparity 2.0,
+    # reprojection 1.0, depth [1, 50])
+    min_depth: float = 0.5
+    max_depth: float = 50.0
+    reprojection_threshold: float = 1.0
+    min_disparity: float = 2.0
+    # pose estimation (`pnp_options`, `rigid_options`)
+    pnp_threshold: float = 3.0
+    pnp_iters: int = 128
+    rigid_threshold: float = 0.05
+    rigid_iters: int = 128
+    min_inliers: int = 4
+    # keyframe   (`keyframe_options`)
+    kf_min_frames: int = 5
+    kf_max_frames: int = 30
+    kf_min_translation: float = 0.15
+    kf_min_rotation_deg: float = 10.0
+    kf_min_tracked_ratio: float = 0.6
+    kf_min_inliers: int = 20
+    # landmark refinement
+    landmark_ema: float = 0.0  # 0 = keep first triangulation (reference map::insert semantics)
+    # LK implementation: None = auto (Pallas kernel on TPU, scanned XLA on CPU)
+    use_pallas_lk: bool | None = None
+
+
+class FeatureTable(NamedTuple):
+    """Left-canonical per-frame feature table (capacity N = max_keypoints)."""
+
+    xy: jnp.ndarray         # (N, 2) float32 — left-image pixels
+    uv_r: jnp.ndarray       # (N, 2) float32 — right-image pixels (stereo transfer)
+    stereo_ok: jnp.ndarray  # (N,) bool
+    desc: jnp.ndarray       # (N, 8) uint32 — ORB-256 packed
+    lm_idx: jnp.ndarray     # (N,) int32 — slot into LandmarkMap, -1 = none
+    track_id: jnp.ndarray   # (N,) int32 — stable global feature id (monotone)
+    age: jnp.ndarray        # (N,) int32 — frames tracked
+    valid: jnp.ndarray      # (N,) bool
+
+
+class LandmarkMap(NamedTuple):
+    """World landmark table (capacity M = max_landmarks)."""
+
+    xyz: jnp.ndarray        # (M, 3) float32 — world coordinates
+    desc: jnp.ndarray       # (M, 8) uint32 — descriptor at creation
+    valid: jnp.ndarray      # (M,) bool
+    last_seen: jnp.ndarray  # (M,) int32 — frame index of last observation
+    n_obs: jnp.ndarray      # (M,) int32 — number of observations
+
+
+class MotionModel(NamedTuple):
+    """Constant-velocity model ≡ `motion_predictor.cpp:5-38` (EMA-smoothed
+    relative motion), applied on the left-camera pose T_cam_world."""
+
+    R_rel: jnp.ndarray  # (3,3) last relative rotation  T_cur_prev
+    t_rel: jnp.ndarray  # (3,)
+    initialized: jnp.ndarray  # () bool
+
+
+class SlamState(NamedTuple):
+    features: FeatureTable
+    lmap: LandmarkMap
+    # current left-camera pose, world->cam
+    R_cw: jnp.ndarray
+    t_cw: jnp.ndarray
+    motion: MotionModel
+    # keyframe bookkeeping (`keyframe_selector.cpp:14-55` state)
+    last_kf_R: jnp.ndarray
+    last_kf_t: jnp.ndarray
+    frames_since_kf: jnp.ndarray  # () int32
+    frame_idx: jnp.ndarray        # () int32
+    next_track_id: jnp.ndarray    # () int32
+    # previous-frame left pyramid, stacked (L+1, H, W) (see ops.lk.stack_pyramid)
+    prev_pyr_l: jnp.ndarray
+    rng_key: jnp.ndarray
+
+
+class FrameTelemetry(NamedTuple):
+    """Per-frame counters/quality — the `frame/counts.h` + pose record that
+    feeds the CSV writer (`frame/writer.cpp:16-110`)."""
+
+    n_tracked: jnp.ndarray
+    n_detected: jnp.ndarray
+    n_stereo: jnp.ndarray
+    n_triangulated: jnp.ndarray
+    n_pose_inliers: jnp.ndarray
+    pose_method: jnp.ndarray
+    pose_ok: jnp.ndarray
+    tracked_ratio: jnp.ndarray
+    is_keyframe: jnp.ndarray
+    map_size: jnp.ndarray
+    R_cw: jnp.ndarray
+    t_cw: jnp.ndarray
+
+
+def empty_features(cfg: SlamConfig) -> FeatureTable:
+    n = cfg.max_keypoints
+    return FeatureTable(
+        xy=jnp.zeros((n, 2), jnp.float32),
+        uv_r=jnp.zeros((n, 2), jnp.float32),
+        stereo_ok=jnp.zeros(n, bool),
+        desc=jnp.zeros((n, 8), jnp.uint32),
+        lm_idx=jnp.full(n, -1, jnp.int32),
+        track_id=jnp.full(n, -1, jnp.int32),
+        age=jnp.zeros(n, jnp.int32),
+        valid=jnp.zeros(n, bool),
+    )
+
+
+def empty_landmarks(cfg: SlamConfig) -> LandmarkMap:
+    m = cfg.max_landmarks
+    return LandmarkMap(
+        xyz=jnp.zeros((m, 3), jnp.float32),
+        desc=jnp.zeros((m, 8), jnp.uint32),
+        valid=jnp.zeros(m, bool),
+        last_seen=jnp.full(m, -1, jnp.int32),
+        n_obs=jnp.zeros(m, jnp.int32),
+    )
+
+
+def init_state(cfg: SlamConfig, image_shape, seed: int = 0) -> SlamState:
+    H, W = image_shape
+    return SlamState(
+        features=empty_features(cfg),
+        lmap=empty_landmarks(cfg),
+        R_cw=jnp.eye(3, dtype=jnp.float32),
+        t_cw=jnp.zeros(3, jnp.float32),
+        motion=MotionModel(
+            R_rel=jnp.eye(3, dtype=jnp.float32),
+            t_rel=jnp.zeros(3, jnp.float32),
+            initialized=jnp.asarray(False),
+        ),
+        last_kf_R=jnp.eye(3, dtype=jnp.float32),
+        last_kf_t=jnp.zeros(3, jnp.float32),
+        frames_since_kf=jnp.asarray(0, jnp.int32),
+        frame_idx=jnp.asarray(0, jnp.int32),
+        next_track_id=jnp.asarray(0, jnp.int32),
+        prev_pyr_l=jnp.zeros((cfg.pyramid_levels + 1, H, W), jnp.float32),
+        rng_key=jax.random.PRNGKey(seed),
+    )

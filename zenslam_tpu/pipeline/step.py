@@ -1,0 +1,331 @@
+"""The per-frame SLAM step — one jitted function, scan-compatible.
+
+This is the TPU re-design of the reference's live loop
+(`slam_thread::loop`, `slam_thread.cpp:63-245`):
+
+  WAIT/POP → PREPROCESS → PREDICT → TRACK → ESTIMATE → KEYFRAME →
+  MAP UPDATE → MOTION UPDATE → emit
+
+Design differences (SURVEY.md §7, deliberate):
+- the three preprocessing jthreads (`processor.cpp:25-63`) become fused device
+  ops inside one jit;
+- the reference tracks left and right keypoint sets independently and joins by
+  global index; here the LEFT table is canonical and the right view holds
+  stereo-transferred positions (the reference's own L→R KLT transfer path,
+  `keypoint_tracker.cpp:41-105`), which removes all cross-table joins;
+- dynamic sets become fixed-capacity masked tables (see pipeline/state.py);
+- RANSAC/PnP/rigid run as fixed-iteration vmapped estimators.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from zenslam_tpu.geometry.camera import StereoRig, project
+from zenslam_tpu.geometry.lie import (
+    se3_apply,
+    se3_compose,
+    se3_inverse,
+    rotation_angle,
+)
+from zenslam_tpu.geometry.triangulate import triangulate_dlt, epipolar_residual
+from zenslam_tpu.ops.image import build_pyramid
+from zenslam_tpu.ops.fast import detect_grid_keypoints
+from zenslam_tpu.ops.orb import orb_descriptors
+from zenslam_tpu.ops.match import match_descriptors, radius_gate
+from zenslam_tpu.ops.lk import lk_forward_backward, build_lk_pyramid
+from zenslam_tpu.ops.lk_pallas import lk_forward_backward_pallas
+from zenslam_tpu.estimation.cascade import estimate_pose_cascade
+from zenslam_tpu.frontend.tables import insert_into_free_slots, allocate_landmark_slots
+from zenslam_tpu.pipeline.state import (
+    SlamConfig,
+    SlamState,
+    FeatureTable,
+    FrameTelemetry,
+)
+
+
+def _predict_pose(state: SlamState):
+    """Constant-velocity prediction ≡ `motion_predictor.cpp:5-14`."""
+    R_pred, t_pred = se3_compose(state.motion.R_rel, state.motion.t_rel, state.R_cw, state.t_cw)
+    R_pred = jnp.where(state.motion.initialized, R_pred, state.R_cw)
+    t_pred = jnp.where(state.motion.initialized, t_pred, state.t_cw)
+    return R_pred, t_pred
+
+
+def _lk_fb(cfg: SlamConfig, prev_stack, next_stack, sizes, pts, valid, init_pts=None):
+    """fwd-bwd KLT on the implementation matching the platform: the Pallas
+    kernel on TPU, the scanned-XLA fallback elsewhere (gathers are fine on
+    CPU; Mosaic kernel needs real hardware or interpret mode)."""
+    use_pallas = cfg.use_pallas_lk
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        return lk_forward_backward_pallas(
+            prev_stack, next_stack, sizes, pts, valid, init_pts=init_pts,
+            radius=cfg.klt_radius, iters=cfg.klt_iters,
+            fb_threshold=cfg.fb_threshold,
+        )
+    return lk_forward_backward(
+        (prev_stack, sizes), (next_stack, sizes), pts, valid,
+        init_pts=init_pts, radius=cfg.klt_radius, iters=cfg.klt_iters,
+        fb_threshold=cfg.fb_threshold,
+    )
+
+
+def _temporal_track(cfg: SlamConfig, rig: StereoRig, state: SlamState, pyr_l, sizes,
+                    R_pred, t_pred):
+    """KLT prev-L → cur-L with landmark-projected initial flow + fb check
+    (≡ `keypoint_tracker.cpp:343-434`)."""
+    feats = state.features
+    has_lm = (feats.lm_idx >= 0) & feats.valid
+    lm_xyz = state.lmap.xyz[jnp.clip(feats.lm_idx, 0, None)]
+    xc = se3_apply(R_pred, t_pred, lm_xyz)
+    proj = project(rig.left, xc)
+    H, W = pyr_l.shape[-2:]
+    proj_ok = has_lm & (xc[..., 2] > 0.1) & (proj[:, 0] >= 0) & (proj[:, 0] < W) & (proj[:, 1] >= 0) & (proj[:, 1] < H)
+    init_pts = jnp.where(proj_ok[:, None], proj, feats.xy)
+    tracked, ok, err = _lk_fb(
+        cfg, state.prev_pyr_l, pyr_l, sizes, feats.xy, feats.valid, init_pts=init_pts,
+    )
+    feats = feats._replace(
+        xy=jnp.where(ok[:, None], tracked, feats.xy),
+        valid=ok,
+        age=jnp.where(ok, feats.age + 1, 0),
+    )
+    return feats, jnp.sum(ok)
+
+
+def _detect_topup(cfg: SlamConfig, img_l, feats: FeatureTable, next_track_id):
+    """Grid detection into free slots (≡ detector top-up,
+    `keypoint_tracker.cpp:53-72` + `keypoint_detector_grid.cpp`)."""
+    det_xy, det_score, det_valid = detect_grid_keypoints(
+        img_l, feats.xy, feats.valid,
+        threshold=cfg.fast_threshold, cell_size=cfg.cell_size,
+        max_keypoints=cfg.max_keypoints, border=cfg.detect_border,
+    )
+    slot, placed = insert_into_free_slots(~feats.valid, det_score, det_valid)
+    sl = jnp.where(placed, slot, cfg.max_keypoints)  # drop-mode scatter target
+    n_placed = jnp.sum(placed.astype(jnp.int32))
+    # new track ids: next_track_id + rank among placed
+    rank = jnp.cumsum(placed.astype(jnp.int32)) - 1
+    new_ids = next_track_id + rank
+    feats = feats._replace(
+        xy=feats.xy.at[sl].set(det_xy, mode="drop"),
+        valid=feats.valid.at[sl].set(placed, mode="drop"),
+        lm_idx=feats.lm_idx.at[sl].set(-1, mode="drop"),
+        track_id=feats.track_id.at[sl].set(new_ids, mode="drop"),
+        age=feats.age.at[sl].set(0, mode="drop"),
+        stereo_ok=feats.stereo_ok.at[sl].set(False, mode="drop"),
+    )
+    return feats, n_placed, next_track_id + n_placed
+
+
+def _stereo_and_triangulate(cfg: SlamConfig, rig: StereoRig, pyr_l, pyr_r, sizes,
+                            feats: FeatureTable, F_rig):
+    """L→R KLT stereo transfer + epipolar gate + triangulation in the left
+    camera frame (≡ stereo transfer `keypoint_tracker.cpp:41-105` +
+    `triangulator.cpp:39-132` gates)."""
+    uv_r, st_ok, _ = _lk_fb(cfg, pyr_l, pyr_r, sizes, feats.xy, feats.valid)
+    res = epipolar_residual(F_rig, feats.xy, uv_r)
+    st_ok = st_ok & (res < cfg.epipolar_threshold)
+
+    eye = jnp.eye(3, dtype=jnp.float32)
+    zero = jnp.zeros(3, jnp.float32)
+    X_cam = triangulate_dlt(rig.left.K, eye, zero, rig.right.K, rig.R_rl, rig.t_rl,
+                            feats.xy, uv_r)
+    # gates (cheirality/depth/reprojection/disparity) in the camera frame
+    z = X_cam[:, 2]
+    x_r = se3_apply(rig.R_rl, rig.t_rl, X_cam)
+    err_l = jnp.linalg.norm(project(rig.left, X_cam) - feats.xy, axis=-1)
+    err_r = jnp.linalg.norm(project(rig.right, x_r) - uv_r, axis=-1)
+    disparity = jnp.abs((feats.xy[:, 0] - rig.left.cx) - (uv_r[:, 0] - rig.right.cx))
+    tri_ok = (
+        st_ok
+        & (z > cfg.min_depth) & (z < cfg.max_depth) & (x_r[:, 2] > 0)
+        & (err_l < cfg.reprojection_threshold) & (err_r < cfg.reprojection_threshold)
+        & (disparity >= cfg.min_disparity)
+    )
+    feats = feats._replace(uv_r=uv_r, stereo_ok=st_ok)
+    return feats, X_cam, tri_ok
+
+
+def _associate_landmarks(cfg: SlamConfig, rig: StereoRig, feats: FeatureTable, lmap,
+                         R_pred, t_pred):
+    """Re-associate landmark-less keypoints to map landmarks by descriptor
+    match within a projected radius (≡ `assign_landmark_indices`,
+    `keypoint_tracker.cpp:199-291`: KD radius search + BF Hamming + gate)."""
+    # project all landmarks with the predicted pose
+    xc = se3_apply(R_pred, t_pred, lmap.xyz)
+    proj = project(rig.left, xc)
+    in_front = xc[:, 2] > 0.1
+    # landmarks already attached to a live track are not re-assignable
+    attached = jnp.zeros(lmap.valid.shape[0], bool).at[
+        jnp.where(feats.valid & (feats.lm_idx >= 0), feats.lm_idx, lmap.valid.shape[0])
+    ].set(True, mode="drop")
+    assignable = lmap.valid & in_front & (~attached)
+    free_kp = feats.valid & (feats.lm_idx < 0)
+    gate = radius_gate(feats.xy, proj, 20.0)
+    idx, dist, ok = match_descriptors(
+        feats.desc, lmap.desc, free_kp, assignable,
+        max_distance=cfg.landmark_match_distance, cross_check=True,
+        gate_mask=gate,
+    )
+    new_lm_idx = jnp.where(ok & free_kp, idx, feats.lm_idx)
+    return feats._replace(lm_idx=new_lm_idx), jnp.sum(ok & free_kp)
+
+
+def _keyframe_decision(cfg: SlamConfig, state: SlamState, R_cw, t_cw, n_inliers, tracked_ratio):
+    """≡ `keyframe_selector::decide` (`keyframe_selector.cpp:14-55`)."""
+    first = state.frame_idx == 0
+    # relative motion since last keyframe
+    Ri, ti = se3_inverse(state.last_kf_R, state.last_kf_t)
+    R_rel, t_rel = se3_compose(R_cw, t_cw, Ri, ti)
+    trans = jnp.linalg.norm(t_rel)
+    rot_deg = jnp.degrees(rotation_angle(R_rel))
+    n_since = state.frames_since_kf
+    motion_trigger = (trans >= cfg.kf_min_translation) | (rot_deg >= cfg.kf_min_rotation_deg)
+    quality_trigger = (tracked_ratio <= cfg.kf_min_tracked_ratio) | (n_inliers < cfg.kf_min_inliers)
+    gap_ok = n_since >= cfg.kf_min_frames
+    forced = n_since >= cfg.kf_max_frames
+    return first | forced | (gap_ok & (motion_trigger | quality_trigger))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r):
+    """Process one stereo frame. Returns (new_state, telemetry)."""
+    pyr_l, sizes = build_lk_pyramid(img_l, cfg.pyramid_levels)
+    pyr_r, _ = build_lk_pyramid(img_r, cfg.pyramid_levels)
+    key, k_est = jax.random.split(state.rng_key)
+
+    from zenslam_tpu.geometry.camera import fundamental_from_rig
+    F_rig = fundamental_from_rig(rig)
+
+    # ---- PREDICT ------------------------------------------------------------
+    R_pred, t_pred = _predict_pose(state)
+
+    # ---- TRACK (temporal) ---------------------------------------------------
+    feats, n_tracked = _temporal_track(cfg, rig, state, pyr_l, sizes, R_pred, t_pred)
+    n_prev_valid = jnp.sum(state.features.valid)
+    tracked_ratio = n_tracked / jnp.maximum(n_prev_valid, 1)
+
+    # ---- DETECT top-up ------------------------------------------------------
+    feats, n_detected, next_track_id = _detect_topup(cfg, img_l, feats, state.next_track_id)
+
+    # ---- DESCRIBE -----------------------------------------------------------
+    desc, _ = orb_descriptors(img_l, feats.xy, feats.valid)
+    feats = feats._replace(desc=desc)
+
+    # ---- ASSOCIATE lost landmarks ------------------------------------------
+    feats, n_assoc = _associate_landmarks(cfg, rig, feats, state.lmap, R_pred, t_pred)
+
+    # ---- STEREO + TRIANGULATE ----------------------------------------------
+    feats, X_cam, tri_ok = _stereo_and_triangulate(cfg, rig, pyr_l, pyr_r, sizes, feats, F_rig)
+
+    # ---- ESTIMATE (cascade PnP cam0 -> cam1 -> rigid) -----------------------
+    has_lm = feats.valid & (feats.lm_idx >= 0)
+    X_w_lm = state.lmap.xyz[jnp.clip(feats.lm_idx, 0, None)]
+    corr0 = has_lm & (feats.age > 0)  # tracked (not fresh) observations
+    corr1 = corr0 & feats.stereo_ok
+    # 3D-3D: world points of current triangulations under the PREDICTED pose
+    Rwp, twp = se3_inverse(R_pred, t_pred)
+    X_w_cur = se3_apply(Rwp, twp, X_cam)
+    corr3d = has_lm & tri_ok
+    est = estimate_pose_cascade(
+        k_est, rig,
+        X_w_lm, feats.xy, corr0,
+        X_w_lm, feats.uv_r, corr1,
+        X_w_cur, X_w_lm, corr3d,
+        R_pred, t_pred,
+        pnp_threshold=cfg.pnp_threshold,
+        rigid_threshold=cfg.rigid_threshold,
+        min_inliers=cfg.min_inliers,
+        pnp_iters=cfg.pnp_iters,
+        rigid_iters=cfg.rigid_iters,
+    )
+    R_cw, t_cw = est.R, est.t
+
+    # ---- MAP UPDATE ---------------------------------------------------------
+    # world coordinates of fresh triangulations under the ESTIMATED pose
+    Rwc, twc = se3_inverse(R_cw, t_cw)
+    X_w_new = se3_apply(Rwc, twc, X_cam)
+    new_lm_cand = feats.valid & (feats.lm_idx < 0) & tri_ok
+    # protect: landmarks referenced by any live keypoint
+    lmap = state.lmap
+    protect = jnp.zeros(lmap.valid.shape[0], bool).at[
+        jnp.where(feats.valid & (feats.lm_idx >= 0), feats.lm_idx, lmap.valid.shape[0])
+    ].set(True, mode="drop")
+    cand_score = jnp.where(new_lm_cand, 1.0 / jnp.maximum(X_cam[:, 2], 0.1), -jnp.inf)
+    slot, placed = allocate_landmark_slots(lmap.valid, lmap.last_seen, protect,
+                                           cand_score, new_lm_cand)
+    sl = jnp.where(placed, slot, lmap.valid.shape[0])
+    lmap = lmap._replace(
+        xyz=lmap.xyz.at[sl].set(X_w_new, mode="drop"),
+        desc=lmap.desc.at[sl].set(feats.desc, mode="drop"),
+        valid=lmap.valid.at[sl].set(placed, mode="drop"),
+        last_seen=lmap.last_seen.at[sl].set(state.frame_idx, mode="drop"),
+        n_obs=lmap.n_obs.at[sl].set(1, mode="drop"),
+    )
+    feats = feats._replace(lm_idx=jnp.where(placed, slot, feats.lm_idx))
+    # observed landmarks: bump last_seen/n_obs (reference keeps first-triangulated
+    # position — `types/map.h` operator+= insert-only semantics)
+    obs_slots = jnp.where(feats.valid & (feats.lm_idx >= 0), feats.lm_idx, lmap.valid.shape[0])
+    lmap = lmap._replace(
+        last_seen=lmap.last_seen.at[obs_slots].set(state.frame_idx, mode="drop"),
+        n_obs=lmap.n_obs.at[obs_slots].add(1, mode="drop"),
+    )
+    n_new_lm = jnp.sum(placed)
+
+    # ---- KEYFRAME -----------------------------------------------------------
+    is_kf = _keyframe_decision(cfg, state, R_cw, t_cw, est.n_inliers, tracked_ratio)
+    last_kf_R = jnp.where(is_kf, R_cw, state.last_kf_R)
+    last_kf_t = jnp.where(is_kf, t_cw, state.last_kf_t)
+    frames_since_kf = jnp.where(is_kf, 0, state.frames_since_kf + 1)
+
+    # ---- MOTION UPDATE ------------------------------------------------------
+    Rpi, tpi = se3_inverse(state.R_cw, state.t_cw)
+    R_rel, t_rel = se3_compose(R_cw, t_cw, Rpi, tpi)
+    motion = state.motion._replace(
+        R_rel=R_rel, t_rel=t_rel, initialized=jnp.asarray(True),
+    )
+
+    new_state = SlamState(
+        features=feats,
+        lmap=lmap,
+        R_cw=R_cw,
+        t_cw=t_cw,
+        motion=motion,
+        last_kf_R=last_kf_R,
+        last_kf_t=last_kf_t,
+        frames_since_kf=frames_since_kf,
+        frame_idx=state.frame_idx + 1,
+        next_track_id=next_track_id,
+        prev_pyr_l=pyr_l,
+        rng_key=key,
+    )
+    telem = FrameTelemetry(
+        n_tracked=n_tracked,
+        n_detected=n_detected,
+        n_stereo=jnp.sum(feats.stereo_ok & feats.valid),
+        n_triangulated=jnp.sum(tri_ok),
+        n_pose_inliers=est.n_inliers,
+        pose_method=est.method,
+        pose_ok=est.ok,
+        tracked_ratio=tracked_ratio,
+        is_keyframe=is_kf,
+        map_size=jnp.sum(lmap.valid),
+        R_cw=R_cw,
+        t_cw=t_cw,
+    )
+    return new_state, telem
+
+
+def make_slam_step(cfg: SlamConfig, rig: StereoRig):
+    """Close over config/rig; returns step(state, img_l, img_r)."""
+    def step(state, img_l, img_r):
+        return slam_step(cfg, rig, state, img_l, img_r)
+    return step
