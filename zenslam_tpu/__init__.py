@@ -30,4 +30,16 @@ import jax as _jax
 # matters for speed.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compilation cache: TPU compiles in this environment are slow
+# (remote AOT service) and occasionally flaky — caching makes every process
+# after the first start in seconds. Override dir with ZENSLAM_CACHE_DIR.
+import os as _os
+
+_cache_dir = _os.environ.get("ZENSLAM_CACHE_DIR", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
+try:
+    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 __version__ = "0.1.0"

@@ -1,0 +1,16 @@
+from zenslam_tpu.backend.ba import (
+    BAProblem,
+    bundle_adjust,
+    ba_cost,
+    make_ba_problem,
+)
+from zenslam_tpu.backend.pose_graph import optimize_pose_graph, PoseGraph
+from zenslam_tpu.backend.keyframes import KeyframeDB, kf_db_init, kf_db_add, covisibility
+from zenslam_tpu.backend.bow import (
+    build_vocabulary,
+    descriptors_to_bow,
+    BowDatabase,
+    bow_db_init,
+    bow_db_add,
+    bow_db_query,
+)

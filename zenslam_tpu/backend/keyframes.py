@@ -1,0 +1,130 @@
+"""Keyframe database with covisibility — fixed-capacity ring store.
+
+Parity target: `mapping/keyframe_database.{h,cpp}`:
+- add/update_pose/recent(n)                  ≡ `keyframe_database.cpp:73-107`
+- covisibility edge when shared landmark
+  observations ≥ threshold (default 15)      ≡ `keyframe_database.h:14`,
+  `compute_shared` `:128-133`
+- covisible(id) sorted by shared count       ≡ `:109-126`
+
+TPU shape: each keyframe snapshot stores its feature table's (lm_idx, xy,
+valid) rows; pairwise shared-landmark counts for ALL keyframes come from one
+indicator matmul  shared = Ind @ Ind^T  with Ind (K, M) — no per-pair set
+intersections. The same snapshots are the observation source for BA
+(backend/ba.py) — the wiring the reference leaves to tests only (SURVEY.md
+global observation) is live here.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from zenslam_tpu.backend.ba import BAProblem
+
+
+class KeyframeDB(NamedTuple):
+    R: jnp.ndarray         # (K, 3, 3) world->cam
+    t: jnp.ndarray         # (K, 3)
+    kp_xy: jnp.ndarray     # (K, N, 2) keypoint pixels at keyframe time
+    kp_lm: jnp.ndarray     # (K, N) int32 landmark slot (-1 none)
+    kp_valid: jnp.ndarray  # (K, N) bool
+    frame_idx: jnp.ndarray # (K,) int32 source frame (-1 = empty slot)
+    valid: jnp.ndarray     # (K,) bool
+    next_slot: jnp.ndarray # () int32 ring pointer
+
+
+def kf_db_init(max_keyframes: int, max_keypoints: int) -> KeyframeDB:
+    K, N = max_keyframes, max_keypoints
+    return KeyframeDB(
+        R=jnp.tile(jnp.eye(3, dtype=jnp.float32), (K, 1, 1)),
+        t=jnp.zeros((K, 3), jnp.float32),
+        kp_xy=jnp.zeros((K, N, 2), jnp.float32),
+        kp_lm=jnp.full((K, N), -1, jnp.int32),
+        kp_valid=jnp.zeros((K, N), bool),
+        frame_idx=jnp.full(K, -1, jnp.int32),
+        valid=jnp.zeros(K, bool),
+        next_slot=jnp.asarray(0, jnp.int32),
+    )
+
+
+@jax.jit
+def kf_db_add(db: KeyframeDB, R, t, kp_xy, kp_lm, kp_valid, frame_idx):
+    """Insert a keyframe at the ring pointer (oldest evicted when full)."""
+    s = db.next_slot
+    return db._replace(
+        R=db.R.at[s].set(R),
+        t=db.t.at[s].set(t),
+        kp_xy=db.kp_xy.at[s].set(kp_xy),
+        kp_lm=db.kp_lm.at[s].set(kp_lm),
+        kp_valid=db.kp_valid.at[s].set(kp_valid),
+        frame_idx=db.frame_idx.at[s].set(frame_idx),
+        valid=db.valid.at[s].set(True),
+        next_slot=(s + 1) % db.R.shape[0],
+    )
+
+
+@jax.jit
+def kf_db_update_poses(db: KeyframeDB, R, t):
+    """Write back BA-optimized poses (≡ `update_pose`, `:98-107`)."""
+    return db._replace(R=R, t=t)
+
+
+def covisibility(db: KeyframeDB, max_landmarks: int, threshold: int = 15):
+    """(K, K) shared-landmark counts + boolean edges (diag excluded).
+
+    ≡ `compute_shared`/`covisible` — all pairs at once via indicator matmul.
+    """
+    K, N = db.kp_lm.shape
+    obs = db.kp_valid & (db.kp_lm >= 0)
+    lm = jnp.where(obs, db.kp_lm, max_landmarks)  # drop-mode index
+    ind = jnp.zeros((K, max_landmarks), jnp.float32)
+    ind = ind.at[jnp.arange(K)[:, None], lm].set(1.0, mode="drop")
+    shared = (ind @ ind.T).astype(jnp.int32)
+    shared = shared * (1 - jnp.eye(K, dtype=jnp.int32))
+    shared = shared * (db.valid[:, None] & db.valid[None, :])
+    edges = shared >= threshold
+    return shared, edges
+
+
+def recent_mask(db: KeyframeDB, n: int):
+    """Mask of the n most recently added keyframes (by frame_idx)."""
+    order = jnp.argsort(-db.frame_idx)  # newest first; empty slots (-1) last
+    mask = jnp.zeros(db.valid.shape[0], bool).at[order[:n]].set(True)
+    return mask & db.valid
+
+
+def ba_problem_from_db(db: KeyframeDB, lmap_xyz, lmap_valid, fx, fy, cx, cy,
+                       window_mask=None, fix_mask=None) -> BAProblem:
+    """Flatten keyframe snapshots into a masked BA problem.
+
+    ≡ the observation harvest in `local_bundle_adjustment.cpp:241-281`
+    (every keyframe keypoint carrying a landmark index becomes one residual).
+    window_mask selects the keyframes to optimize; fix_mask the gauge
+    (default: the oldest keyframe in the window).
+    """
+    K, N = db.kp_lm.shape
+    kf_sel = db.valid if window_mask is None else (db.valid & window_mask)
+    obs_valid = (db.kp_valid & (db.kp_lm >= 0) & kf_sel[:, None]).reshape(-1)
+    obs_kf = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+    obs_lm = db.kp_lm.reshape(-1)
+    obs_uv = db.kp_xy.reshape(-1, 2)
+    # only landmarks actually observed in the window are optimized
+    lm_obs = jnp.zeros(lmap_valid.shape[0], bool).at[
+        jnp.where(obs_valid, jnp.clip(obs_lm, 0, None), lmap_valid.shape[0])
+    ].set(True, mode="drop")
+    if fix_mask is None:
+        # fix the oldest selected keyframe (`:344-347` first-KF default gauge)
+        oldest = jnp.argmin(jnp.where(kf_sel, db.frame_idx, jnp.int32(2**30)))
+        fix_mask = jnp.zeros(K, bool).at[oldest].set(True)
+    return BAProblem(
+        R=db.R, t=db.t,
+        kf_valid=kf_sel, kf_fixed=fix_mask,
+        xyz=lmap_xyz, lm_valid=lmap_valid & lm_obs,
+        obs_kf=obs_kf, obs_lm=jnp.clip(obs_lm, 0, None),
+        obs_uv=obs_uv, obs_valid=obs_valid,
+        fx=jnp.float32(fx), fy=jnp.float32(fy),
+        cx=jnp.float32(cx), cy=jnp.float32(cy),
+    )

@@ -1,0 +1,15 @@
+from zenslam_tpu.imu.preintegration import (
+    ImuIntegral,
+    ImuNoise,
+    preintegrate,
+)
+from zenslam_tpu.imu.predictors import (
+    inertial_predict_pose,
+    propagate_velocity,
+)
+from zenslam_tpu.imu.gravity import (
+    GravityEstimator,
+    gravity_init,
+    gravity_add_sample,
+    gravity_estimate,
+)
