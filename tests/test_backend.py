@@ -217,10 +217,11 @@ class TestKeyframeDB:
             lm = jnp.arange(32, dtype=jnp.int32) + lm_start
             return (jnp.zeros((32, 2)), lm, jnp.arange(32) < 20)
         xy, lm, v = snap(0)
-        db = kf_db_add(db, jnp.eye(3), jnp.zeros(3), xy, lm, v, 0)
-        db = kf_db_add(db, jnp.eye(3), jnp.zeros(3), xy, lm, v, 1)
+        desc = jnp.zeros((32, 8), jnp.uint32)
+        db = kf_db_add(db, jnp.eye(3), jnp.zeros(3), xy, lm, v, desc, 0)
+        db = kf_db_add(db, jnp.eye(3), jnp.zeros(3), xy, lm, v, desc, 1)
         xy2, lm2, v2 = snap(100)
-        db = kf_db_add(db, jnp.eye(3), jnp.zeros(3), xy2, lm2, v2, 2)
+        db = kf_db_add(db, jnp.eye(3), jnp.zeros(3), xy2, lm2, v2, desc, 2)
         shared, edges = covisibility(db, max_landmarks=256, threshold=15)
         assert int(shared[0, 1]) == 20
         assert bool(edges[0, 1]) and not bool(edges[0, 2])
@@ -230,7 +231,8 @@ class TestKeyframeDB:
         db = kf_db_init(max_keyframes=2, max_keypoints=4)
         for f in range(3):
             db = kf_db_add(db, jnp.eye(3), jnp.zeros(3), jnp.zeros((4, 2)),
-                           jnp.zeros(4, jnp.int32), jnp.ones(4, bool), f)
+                           jnp.zeros(4, jnp.int32), jnp.ones(4, bool),
+                           jnp.zeros((4, 8), jnp.uint32), f)
         fi = set(np.asarray(db.frame_idx).tolist())
         assert fi == {1, 2}  # frame 0 evicted
 

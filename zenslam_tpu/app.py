@@ -1,0 +1,140 @@
+"""zenslam_tpu application entry — the `main.cpp` equivalent.
+
+CLI (≡ `zenslam_app/source/main.cpp:33-115`):
+    python -m zenslam_tpu.app --options-file options.yaml
+    python -m zenslam_tpu.app --options-file options.yaml --no-backend
+    python -m zenslam_tpu.app --version / --help
+
+Runs the full keyframe SLAM system over the dataset named in the options:
+native prefetch reader → (optional rectification) → jitted frame step →
+keyframe back-end (windowed BA + loop closure) → telemetry CSV + trajectory,
+ATE/RPE against groundtruth when available; writes the effective options back
+on exit (≡ options_writer emit-back).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("zenslam_tpu")
+    ap.add_argument("--options-file", default=None)
+    ap.add_argument("--no-backend", action="store_true")
+    ap.add_argument("--take", type=int, default=0, help="override take_frames")
+    ap.add_argument("--version", action="store_true")
+    args = ap.parse_args(argv)
+
+    import zenslam_tpu
+
+    if args.version:
+        print(f"zenslam_tpu {zenslam_tpu.__version__}")
+        return 0
+
+    import jax
+    import jax.numpy as jnp
+
+    from zenslam_tpu.config import AllOptions, load_options, save_options
+    from zenslam_tpu.io.dataset import FolderReader, Groundtruth
+    from zenslam_tpu.io.calibration import load_kalibr_yaml, compute_rectify_maps
+    from zenslam_tpu.io.telemetry import TelemetryWriter
+    from zenslam_tpu.io.synthetic import default_rig
+    from zenslam_tpu.ops.image import remap
+    from zenslam_tpu.pipeline.system import BackendConfig, create_system, process_frame
+    from zenslam_tpu.eval.metrics import ate_rmse, rpe_rmse, camera_positions
+
+    opts = load_options(args.options_file) if args.options_file else AllOptions()
+    if args.take:
+        opts.folder.take_frames = args.take
+    if args.no_backend:
+        opts.backend.ba_every_kf = False
+        opts.backend.enable_loop_closure = False
+
+    os.makedirs(opts.folder.output, exist_ok=True)
+
+    # calibration
+    maps = None
+    if opts.folder.calibration_file:
+        rig_raw, models = load_kalibr_yaml(opts.folder.calibration_file)
+        maps = compute_rectify_maps(rig_raw, models)
+        rig = maps.rig_rectified
+        print(f"calibration: {opts.folder.calibration_file} (rectifying, "
+              f"baseline {float(rig.baseline):.4f} m)")
+    else:
+        rig = None  # resolved after the first frame's shape is known
+
+    reader = FolderReader(
+        root=opts.folder.root,
+        left_dir=opts.folder.left, right_dir=opts.folder.right,
+        imu_file=opts.folder.imu_file, timescale=opts.folder.timescale,
+        skip_frames=opts.folder.skip_frames, take_frames=opts.folder.take_frames,
+    )
+    gt = Groundtruth(opts.folder.groundtruth_file) if opts.folder.groundtruth_file else None
+
+    telemetry = TelemetryWriter(os.path.join(opts.folder.output, "frame_data.csv"))
+    traj_path = os.path.join(opts.folder.output, "trajectory.csv")
+    traj_f = open(traj_path, "w")
+    traj_f.write("# timestamp, px, py, pz (camera center, world frame)\n")
+
+    system = None
+    est_pos, gt_pos, times = [], [], []
+    n = 0
+    t_start = time.time()
+    mx_l = my_l = mx_r = my_r = None
+    for frame in reader.frames():
+        il = jnp.asarray(frame.left)
+        ir = jnp.asarray(frame.right)
+        if maps is not None:
+            if mx_l is None:
+                mx_l, my_l = jnp.asarray(maps.left_x), jnp.asarray(maps.left_y)
+                mx_r, my_r = jnp.asarray(maps.right_x), jnp.asarray(maps.right_y)
+            il = remap(il, mx_l, my_l)
+            ir = remap(ir, mx_r, my_r)
+        if system is None:
+            if rig is None:
+                H, W = frame.left.shape
+                rig = default_rig(width=W, height=H)
+                print(f"no calibration file — default rig for {W}x{H}")
+            system = create_system(opts.slam, opts.backend, rig, il.shape)
+        t0 = time.time()
+        tel, info = process_frame(system, il, ir)
+        jax.block_until_ready(tel.t_cw)
+        dt_ms = (time.time() - t0) * 1000
+        telemetry.write(tel, timestamp=frame.timestamp, duration_ms=dt_ms)
+        R = np.asarray(tel.R_cw)
+        t = np.asarray(tel.t_cw)
+        c = -R.T @ t
+        est_pos.append(c)
+        traj_f.write(f"{frame.timestamp:.9f}, {c[0]:.6f}, {c[1]:.6f}, {c[2]:.6f}\n")
+        if gt is not None:
+            _, p = gt.pose_at(frame.timestamp)
+            gt_pos.append(p)
+        times.append(dt_ms)
+        n += 1
+        if n % 50 == 0:
+            print(f"frame {n}: {np.mean(times[-50:]):.1f} ms/frame, "
+                  f"map {int(tel.map_size)}, inliers {int(tel.n_pose_inliers)}")
+
+    telemetry.close()
+    traj_f.close()
+    wall = time.time() - t_start
+    print(f"\nprocessed {n} frames in {wall:.1f}s "
+          f"({n / max(wall, 1e-9):.1f} fps, steady {np.median(times):.1f} ms/frame)")
+    if system is not None:
+        print(f"keyframes: {int(system.kf_db.valid.sum())}, "
+              f"BA runs: {system.n_ba_runs}, loop closures: {system.n_loop_closures}")
+    if gt is not None and len(gt_pos) > 2:
+        ate = ate_rmse(np.asarray(est_pos), np.asarray(gt_pos))
+        rpe = rpe_rmse(np.asarray(est_pos), np.asarray(gt_pos))
+        print(f"ATE RMSE: {ate * 1000:.1f} mm   RPE RMSE: {rpe * 1000:.1f} mm")
+    if args.options_file:
+        save_options(opts, os.path.join(opts.folder.output, "effective_options.yaml"))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

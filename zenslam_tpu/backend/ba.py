@@ -43,20 +43,31 @@ class BAProblem(NamedTuple):
     # landmarks
     xyz: jnp.ndarray        # (M, 3)
     lm_valid: jnp.ndarray   # (M,) bool
-    # observations
+    # observations; obs_cam: 0 = left, 1 = right (through the rig extrinsics).
+    # STEREO observations are what anchor metric scale in a window whose gauge
+    # fixes only one keyframe — left-only BA is monocular and scale-drifts.
     obs_kf: jnp.ndarray     # (O,) int32
     obs_lm: jnp.ndarray     # (O,) int32
     obs_uv: jnp.ndarray     # (O, 2)
+    obs_cam: jnp.ndarray    # (O,) int32
     obs_valid: jnp.ndarray  # (O,) bool
-    # shared intrinsics (left camera)
+    # intrinsics (left camera / right camera) + stereo extrinsics T_rl
     fx: jnp.ndarray
     fy: jnp.ndarray
     cx: jnp.ndarray
     cy: jnp.ndarray
+    fx_r: jnp.ndarray
+    fy_r: jnp.ndarray
+    cx_r: jnp.ndarray
+    cy_r: jnp.ndarray
+    R_rl: jnp.ndarray       # (3,3)
+    t_rl: jnp.ndarray       # (3,)
 
 
-def make_ba_problem(K, M, O, fx, fy, cx, cy):
-    """Empty fixed-capacity problem."""
+def make_ba_problem(K, M, O, fx, fy, cx, cy, fx_r=None, fy_r=None, cx_r=None,
+                    cy_r=None, R_rl=None, t_rl=None):
+    """Empty fixed-capacity problem. Defaults: right camera = left camera,
+    identity extrinsics (obs_cam==0 everywhere reproduces monocular BA)."""
     return BAProblem(
         R=jnp.tile(jnp.eye(3, dtype=jnp.float32), (K, 1, 1)),
         t=jnp.zeros((K, 3), jnp.float32),
@@ -67,31 +78,48 @@ def make_ba_problem(K, M, O, fx, fy, cx, cy):
         obs_kf=jnp.zeros(O, jnp.int32),
         obs_lm=jnp.zeros(O, jnp.int32),
         obs_uv=jnp.zeros((O, 2), jnp.float32),
+        obs_cam=jnp.zeros(O, jnp.int32),
         obs_valid=jnp.zeros(O, bool),
         fx=jnp.float32(fx), fy=jnp.float32(fy),
         cx=jnp.float32(cx), cy=jnp.float32(cy),
+        fx_r=jnp.float32(fx if fx_r is None else fx_r),
+        fy_r=jnp.float32(fy if fy_r is None else fy_r),
+        cx_r=jnp.float32(cx if cx_r is None else cx_r),
+        cy_r=jnp.float32(cy if cy_r is None else cy_r),
+        R_rl=jnp.eye(3, dtype=jnp.float32) if R_rl is None else jnp.asarray(R_rl),
+        t_rl=jnp.zeros(3, jnp.float32) if t_rl is None else jnp.asarray(t_rl),
     )
 
 
 def _residuals_and_weights(p: BAProblem, R, t, xyz, huber_delta: float):
-    """Per-observation residual (O, 2), robust weight (O,), validity (O,)."""
+    """Per-observation residual (O, 2), robust weight (O,), validity (O,).
+
+    Also returns xc0 (the LEFT-camera-frame point — the pose-Jacobian pivot)
+    and the per-obs chain rotation C = (cam==1 ? R_rl : I) @ Rk for the
+    landmark Jacobian, plus the per-obs projection intrinsics."""
     kf = jnp.clip(p.obs_kf, 0, R.shape[0] - 1)
     lm = jnp.clip(p.obs_lm, 0, xyz.shape[0] - 1)
     Rk = R[kf]
     tk = t[kf]
     X = xyz[lm]
-    xc = jnp.einsum("oij,oj->oi", Rk, X) + tk
+    xc0 = jnp.einsum("oij,oj->oi", Rk, X) + tk        # left-camera frame
+    is_r = (p.obs_cam == 1)
+    xc = jnp.where(is_r[:, None], xc0 @ p.R_rl.T + p.t_rl, xc0)
+    fx = jnp.where(is_r, p.fx_r, p.fx)
+    fy = jnp.where(is_r, p.fy_r, p.fy)
+    cx = jnp.where(is_r, p.cx_r, p.cx)
+    cy = jnp.where(is_r, p.cy_r, p.cy)
     z = xc[:, 2]
     # cheirality gate z > 1e-3 ≡ observation harvest gate (`:241-281`)
     good = p.obs_valid & (z > 1e-3)
     z_safe = jnp.where(jnp.abs(z) < 1e-3, 1e-3, z)
-    u = p.fx * xc[:, 0] / z_safe + p.cx
-    v = p.fy * xc[:, 1] / z_safe + p.cy
+    u = fx * xc[:, 0] / z_safe + cx
+    v = fy * xc[:, 1] / z_safe + cy
     r = jnp.stack([u - p.obs_uv[:, 0], v - p.obs_uv[:, 1]], axis=-1)
     rn = jnp.linalg.norm(r, axis=-1)
     w_huber = jnp.where(rn <= huber_delta, 1.0, huber_delta / jnp.maximum(rn, 1e-12))
     w = jnp.where(good, w_huber, 0.0)
-    return r, w, good, xc, Rk
+    return r, w, good, xc, Rk, xc0, is_r, (fx, fy)
 
 
 def ba_cost(p: BAProblem, R=None, t=None, xyz=None, huber_delta: float = 1.0):
@@ -100,7 +128,7 @@ def ba_cost(p: BAProblem, R=None, t=None, xyz=None, huber_delta: float = 1.0):
     R = p.R if R is None else R
     t = p.t if t is None else t
     xyz = p.xyz if xyz is None else xyz
-    r, w, good, _, _ = _residuals_and_weights(p, R, t, xyz, huber_delta)
+    r, w, good, *_ = _residuals_and_weights(p, R, t, xyz, huber_delta)
     r2 = jnp.sum(r * r, axis=-1)
     # Huber rho
     delta = huber_delta
@@ -121,29 +149,30 @@ def _build_blocks(p: BAProblem, R, t, xyz, huber_delta: float):
     """
     K = R.shape[0]
     M = xyz.shape[0]
-    r, w, good, xc, Rk = _residuals_and_weights(p, R, t, xyz, huber_delta)
+    r, w, good, xc, Rk, xc0, is_r, (fx, fy) = _residuals_and_weights(p, R, t, xyz, huber_delta)
     kf = jnp.clip(p.obs_kf, 0, K - 1)
     lm = jnp.clip(p.obs_lm, 0, M - 1)
 
     z = jnp.where(jnp.abs(xc[:, 2]) < 1e-3, 1e-3, xc[:, 2])
     inv_z = 1.0 / z
     x_, y_ = xc[:, 0], xc[:, 1]
-    # d(uv)/d(xc)  (O, 2, 3)
+    # d(uv)/d(xc)  (O, 2, 3) with per-observation intrinsics
     zeros = jnp.zeros_like(z)
     J_proj = jnp.stack(
         [
-            jnp.stack([p.fx * inv_z, zeros, -p.fx * x_ * inv_z * inv_z], -1),
-            jnp.stack([zeros, p.fy * inv_z, -p.fy * y_ * inv_z * inv_z], -1),
+            jnp.stack([fx * inv_z, zeros, -fx * x_ * inv_z * inv_z], -1),
+            jnp.stack([zeros, fy * inv_z, -fy * y_ * inv_z * inv_z], -1),
         ],
         axis=-2,
     )
-    # pose: left-multiplicative increment xc' = exp(w) xc + dt
-    J_pose = jnp.concatenate(
-        [jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), xc.shape[:1] + (3, 3)), -so3_hat(xc)],
-        axis=-1,
-    )  # (O, 3, 6)
+    # chain rotation: xc = C_chain xc0 + const with C_chain = R_rl for right obs
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), xc.shape[:1] + (3, 3))
+    C_chain = jnp.where(is_r[:, None, None], jnp.broadcast_to(p.R_rl, eye.shape), eye)
+    # pose: left-multiplicative increment on the LEFT-camera pose:
+    # xc0' = exp(w) xc0 + dt  =>  dxc/dxi = C_chain [I, -hat(xc0)]
+    J_pose = C_chain @ jnp.concatenate([eye, -so3_hat(xc0)], axis=-1)  # (O, 3, 6)
     Jp = J_proj @ J_pose        # (O, 2, 6)
-    Jl = J_proj @ Rk            # (O, 2, 3)  d(uv)/dX = J_proj R
+    Jl = J_proj @ (C_chain @ Rk)  # (O, 2, 3)  d(uv)/dX
 
     Jp_w = Jp * w[:, None, None]
     Jl_w = Jl * w[:, None, None]
@@ -239,7 +268,7 @@ def bundle_adjust(
                               huber_delta=huber_delta,
                               refine_landmarks=refine_landmarks,
                               init_lambda=init_lambda, trim_threshold=None)
-        r, _, good, _, _ = _residuals_and_weights(
+        r, _, good, *_ = _residuals_and_weights(
             p, first["R"], first["t"], first["xyz"], huber_delta)
         keep = good & (jnp.linalg.norm(r, axis=-1) < trim_threshold)
         p = p._replace(obs_valid=keep, R=first["R"], t=first["t"], xyz=first["xyz"])

@@ -31,6 +31,9 @@ class KeyframeDB(NamedTuple):
     kp_xy: jnp.ndarray     # (K, N, 2) keypoint pixels at keyframe time
     kp_lm: jnp.ndarray     # (K, N) int32 landmark slot (-1 none)
     kp_valid: jnp.ndarray  # (K, N) bool
+    kp_uvr: jnp.ndarray    # (K, N, 2) right-image pixels (stereo transfer)
+    kp_stereo: jnp.ndarray # (K, N) bool — stereo observation valid
+    kp_desc: jnp.ndarray   # (K, N, 8) uint32 ORB descriptors (loop closure)
     frame_idx: jnp.ndarray # (K,) int32 source frame (-1 = empty slot)
     valid: jnp.ndarray     # (K,) bool
     next_slot: jnp.ndarray # () int32 ring pointer
@@ -44,6 +47,9 @@ def kf_db_init(max_keyframes: int, max_keypoints: int) -> KeyframeDB:
         kp_xy=jnp.zeros((K, N, 2), jnp.float32),
         kp_lm=jnp.full((K, N), -1, jnp.int32),
         kp_valid=jnp.zeros((K, N), bool),
+        kp_uvr=jnp.zeros((K, N, 2), jnp.float32),
+        kp_stereo=jnp.zeros((K, N), bool),
+        kp_desc=jnp.zeros((K, N, 8), jnp.uint32),
         frame_idx=jnp.full(K, -1, jnp.int32),
         valid=jnp.zeros(K, bool),
         next_slot=jnp.asarray(0, jnp.int32),
@@ -51,15 +57,23 @@ def kf_db_init(max_keyframes: int, max_keypoints: int) -> KeyframeDB:
 
 
 @jax.jit
-def kf_db_add(db: KeyframeDB, R, t, kp_xy, kp_lm, kp_valid, frame_idx):
+def kf_db_add(db: KeyframeDB, R, t, kp_xy, kp_lm, kp_valid, kp_desc, frame_idx,
+              kp_uvr=None, kp_stereo=None):
     """Insert a keyframe at the ring pointer (oldest evicted when full)."""
     s = db.next_slot
+    if kp_uvr is None:
+        kp_uvr = jnp.zeros_like(kp_xy)
+    if kp_stereo is None:
+        kp_stereo = jnp.zeros(kp_xy.shape[0], bool)
     return db._replace(
         R=db.R.at[s].set(R),
         t=db.t.at[s].set(t),
         kp_xy=db.kp_xy.at[s].set(kp_xy),
         kp_lm=db.kp_lm.at[s].set(kp_lm),
         kp_valid=db.kp_valid.at[s].set(kp_valid),
+        kp_uvr=db.kp_uvr.at[s].set(kp_uvr),
+        kp_stereo=db.kp_stereo.at[s].set(kp_stereo),
+        kp_desc=db.kp_desc.at[s].set(kp_desc),
         frame_idx=db.frame_idx.at[s].set(frame_idx),
         valid=db.valid.at[s].set(True),
         next_slot=(s + 1) % db.R.shape[0],
@@ -96,35 +110,46 @@ def recent_mask(db: KeyframeDB, n: int):
     return mask & db.valid
 
 
-def ba_problem_from_db(db: KeyframeDB, lmap_xyz, lmap_valid, fx, fy, cx, cy,
+def ba_problem_from_db(db: KeyframeDB, lmap_xyz, lmap_valid, rig,
                        window_mask=None, fix_mask=None) -> BAProblem:
-    """Flatten keyframe snapshots into a masked BA problem.
+    """Flatten keyframe snapshots into a masked STEREO BA problem.
 
     ≡ the observation harvest in `local_bundle_adjustment.cpp:241-281`
-    (every keyframe keypoint carrying a landmark index becomes one residual).
+    (every keyframe keypoint carrying a landmark index becomes one residual),
+    EXTENDED with right-camera observations through the rig extrinsics —
+    stereo residuals pin metric scale, which the reference's mono-only
+    harvest leaves to the gauge.
     window_mask selects the keyframes to optimize; fix_mask the gauge
     (default: the oldest keyframe in the window).
     """
     K, N = db.kp_lm.shape
     kf_sel = db.valid if window_mask is None else (db.valid & window_mask)
-    obs_valid = (db.kp_valid & (db.kp_lm >= 0) & kf_sel[:, None]).reshape(-1)
-    obs_kf = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
-    obs_lm = db.kp_lm.reshape(-1)
-    obs_uv = db.kp_xy.reshape(-1, 2)
+    has_lm = db.kp_valid & (db.kp_lm >= 0) & kf_sel[:, None]
+    obs_valid_l = has_lm.reshape(-1)
+    obs_valid_r = (has_lm & db.kp_stereo).reshape(-1)
+    obs_kf1 = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+    obs_lm1 = jnp.clip(db.kp_lm.reshape(-1), 0, None)
+    obs_kf = jnp.concatenate([obs_kf1, obs_kf1])
+    obs_lm = jnp.concatenate([obs_lm1, obs_lm1])
+    obs_uv = jnp.concatenate([db.kp_xy.reshape(-1, 2), db.kp_uvr.reshape(-1, 2)])
+    obs_cam = jnp.concatenate([jnp.zeros(K * N, jnp.int32), jnp.ones(K * N, jnp.int32)])
+    obs_valid = jnp.concatenate([obs_valid_l, obs_valid_r])
     # only landmarks actually observed in the window are optimized
     lm_obs = jnp.zeros(lmap_valid.shape[0], bool).at[
-        jnp.where(obs_valid, jnp.clip(obs_lm, 0, None), lmap_valid.shape[0])
+        jnp.where(obs_valid_l, obs_lm1, lmap_valid.shape[0])
     ].set(True, mode="drop")
     if fix_mask is None:
         # fix the oldest selected keyframe (`:344-347` first-KF default gauge)
         oldest = jnp.argmin(jnp.where(kf_sel, db.frame_idx, jnp.int32(2**30)))
         fix_mask = jnp.zeros(K, bool).at[oldest].set(True)
+    cam_l, cam_r = rig.left, rig.right
     return BAProblem(
         R=db.R, t=db.t,
         kf_valid=kf_sel, kf_fixed=fix_mask,
         xyz=lmap_xyz, lm_valid=lmap_valid & lm_obs,
-        obs_kf=obs_kf, obs_lm=jnp.clip(obs_lm, 0, None),
-        obs_uv=obs_uv, obs_valid=obs_valid,
-        fx=jnp.float32(fx), fy=jnp.float32(fy),
-        cx=jnp.float32(cx), cy=jnp.float32(cy),
+        obs_kf=obs_kf, obs_lm=obs_lm,
+        obs_uv=obs_uv, obs_cam=obs_cam, obs_valid=obs_valid,
+        fx=cam_l.fx, fy=cam_l.fy, cx=cam_l.cx, cy=cam_l.cy,
+        fx_r=cam_r.fx, fy_r=cam_r.fy, cx_r=cam_r.cx, cy_r=cam_r.cy,
+        R_rl=rig.R_rl, t_rl=rig.t_rl,
     )

@@ -61,10 +61,14 @@ def estimate_pose_cascade(
     """Returns the left-camera pose T_cam0_world as a PoseEstimate."""
     k0, k1, k2 = jax.random.split(key, 3)
 
+    # cam1 prior: transfer the prediction through the stereo extrinsics
+    R1p, t1p = se3_compose(rig.R_rl, rig.t_rl, R_pred, t_pred)
     r0 = solve_pnp_ransac(k0, rig.left.K, X0, uv0, valid0,
-                          threshold=pnp_threshold, iters=pnp_iters)
+                          threshold=pnp_threshold, iters=pnp_iters,
+                          R_init=R_pred, t_init=t_pred)
     r1 = solve_pnp_ransac(k1, rig.right.K, X1, uv1, valid1,
-                          threshold=pnp_threshold, iters=pnp_iters)
+                          threshold=pnp_threshold, iters=pnp_iters,
+                          R_init=R1p, t_init=t1p)
     r2 = solve_rigid_ransac(k2, src3d, dst3d, valid3d,
                             threshold=rigid_threshold, iters=rigid_iters)
 

@@ -95,11 +95,19 @@ def solve_pnp_ransac(
     iters: int = 256,
     refine_iters: int = 10,
     huber_delta: float = 2.0,
+    R_init=None,
+    t_init=None,
 ):
     """RANSAC PnP over masked correspondences.
 
     Args:
       K: (3,3); X: (N,3) world points; uv: (N,2) pixels; valid: (N,) bool.
+      R_init/t_init: optional pose prior (e.g. the motion prediction). A
+        Huber-GN refinement seeded from the prior competes with the RANSAC
+        winner — this is what keeps PnP solid on (near-)planar scenes, where
+        6-point DLT hypotheses are degenerate (the projective DLT needs
+        non-coplanar samples; cv::solvePnP's ITERATIVE mode has the same
+        prior-seeded structure).
     Returns dict with R, t (world->cam), inliers (N,) bool, n_inliers,
     ok (enough inliers & solve sane), mean_err over inliers.
     """
@@ -118,6 +126,18 @@ def solve_pnp_ransac(
     scores, Rs, ts = jax.vmap(hypo)(idx)
     best = jnp.argmax(scores)
     R0, t0 = Rs[best], ts[best]
+
+    if R_init is not None:
+        # prior-seeded robust GN on ALL valid points (Huber downweights the
+        # outliers); adopt it when it beats the best DLT hypothesis
+        Rp, tp = refine_pnp_gn(K, R_init, t_init, X, uv, valid,
+                               iters=refine_iters, huber_delta=huber_delta)
+        err_p = reprojection_errors(K, Rp, tp, X, uv)
+        n_p = jnp.sum((err_p < threshold) & valid)
+        use_p = n_p > scores[best]
+        R0 = jnp.where(use_p, Rp, R0)
+        t0 = jnp.where(use_p, tp, t0)
+
     err0 = reprojection_errors(K, R0, t0, X, uv)
     inliers = (err0 < threshold) & valid
 

@@ -23,11 +23,20 @@ from zenslam_tpu.geometry.camera import PinholeCamera, StereoRig
 import jax.numpy as jnp
 
 
-def smooth_texture(rng: np.random.Generator, h: int, w: int, octaves: int = 4) -> np.ndarray:
-    """Multi-octave smooth random texture in [0,1], float32 (h, w)."""
+def smooth_texture(rng: np.random.Generator, h: int, w: int, octaves: int = 7,
+                   roughness: float = 0.65) -> np.ndarray:
+    """Multi-octave random texture in [0,1], float32 (h, w).
+
+    The spectrum must carry real energy at FINE scales: with only low-frequency
+    content, LK windows hit the aperture problem (gradients locally 1-D) and
+    slide consistently in both directions — sub-pixel disparity errors of
+    several px that the fwd-bwd check cannot catch. roughness≈0.65 keeps
+    per-octave energy decaying slowly enough that corners are sharp.
+    """
     tex = np.zeros((h, w), np.float32)
     for o in range(octaves):
-        hs, ws = max(2, h >> (octaves - o)), max(2, w >> (octaves - o))
+        shift = max(octaves - 1 - o, 0)
+        hs, ws = max(2, h >> shift), max(2, w >> shift)
         coarse = rng.standard_normal((hs, ws)).astype(np.float32)
         # bilinear upsample to (h, w)
         yi = np.linspace(0, hs - 1, h, dtype=np.float32)
@@ -42,7 +51,7 @@ def smooth_texture(rng: np.random.Generator, h: int, w: int, octaves: int = 4) -
             + coarse[y0 + 1][:, x0] * fy * (1 - fx)
             + coarse[y0 + 1][:, x0 + 1] * fy * fx
         )
-        tex += up * (0.5 ** (octaves - o))
+        tex += up * (roughness ** (octaves - 1 - o))
     tex -= tex.min()
     tex /= max(tex.max(), 1e-6)
     return tex.astype(np.float32)
@@ -62,17 +71,22 @@ class PlaneWorld(NamedTuple):
 
 
 def make_corridor_world(rng: np.random.Generator, tex_size: int = 1024) -> PlaneWorld:
-    """Two frontal planes at different depths + a floor — enough parallax
-    structure for stereo and temporal tracking."""
+    """A corridor the camera flies through: end wall (z=6), floor (y=+1.5,
+    y-down convention), ceiling (y=-1.2) — depths 1.2-6 m, a good range for
+    an 0.11 m baseline. Plane equation: n·X + d = 0 with d = -n·p."""
     textures = np.stack([smooth_texture(rng, tex_size, tex_size) for _ in range(3)])
     normals = np.array(
-        [[0.0, 0.0, -1.0], [0.0, 0.0, -1.0], [0.0, -1.0, 0.0]], np.float32
+        [[0.0, 0.0, 1.0],   # end wall z = 6
+         [0.0, 1.0, 0.0],   # floor   y = +1.5
+         [0.0, 1.0, 0.0]],  # ceiling y = -1.2
+        np.float32,
     )
-    offsets = np.array([-6.0, -12.0, -1.5], np.float32)  # planes z=6, z=12, y=1.5
-    origins = np.array([[0, 0, 6.0], [0, 0, 12.0], [0, 1.5, 6.0]], np.float32)
+    points = np.array([[0, 0, 6.0], [0, 1.5, 0], [0, -1.2, 0]], np.float32)
+    offsets = -np.einsum("pi,pi->p", normals, points).astype(np.float32)
+    origins = points
     u_axes = np.array([[1, 0, 0], [1, 0, 0], [1, 0, 0]], np.float32)
-    v_axes = np.array([[0, 1, 0], [0, 1, 0], [0, 0, 1]], np.float32)
-    return PlaneWorld(normals, offsets, origins, u_axes, v_axes, textures, tex_scale=64.0)
+    v_axes = np.array([[0, 1, 0], [0, 0, 1], [0, 0, 1]], np.float32)
+    return PlaneWorld(normals, offsets, origins, u_axes, v_axes, textures, tex_scale=96.0)
 
 
 def render_view(world: PlaneWorld, cam: PinholeCamera, R_cw: np.ndarray, t_cw: np.ndarray,
@@ -197,3 +211,49 @@ def make_sequence(
         timestamps=np.arange(n_frames, dtype=np.float64) * dt,
         rig=rig,
     )
+
+
+def write_png_gray(path: str, img: np.ndarray) -> None:
+    """Minimal grayscale PNG writer (zlib): 8/16-bit, filter 0."""
+    import struct
+    import zlib
+
+    h, w = img.shape
+    depth = 16 if img.dtype == np.uint16 else 8
+
+    def chunk(tag, body):
+        out = struct.pack(">I", len(body)) + tag + body
+        return out + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    raw = b""
+    for y in range(h):
+        row = img[y]
+        raw += b"\x00" + (row.astype(">u2") if depth == 16 else row.astype(np.uint8)).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def export_dataset(seq: "SyntheticSequence", root: str) -> None:
+    """Write a SyntheticSequence as an EuRoC-style folder dataset (PNG images
+    with nanosecond filenames + groundtruth CSV) for end-to-end app runs."""
+    import os
+
+    os.makedirs(os.path.join(root, "cam0/data"), exist_ok=True)
+    os.makedirs(os.path.join(root, "cam1/data"), exist_ok=True)
+    gt_rows = []
+    for i in range(seq.left.shape[0]):
+        ns = int(seq.timestamps[i] * 1e9) + 1_000_000_000
+        l8 = np.clip(seq.left[i] * 255.0, 0, 255).astype(np.uint8)
+        r8 = np.clip(seq.right[i] * 255.0, 0, 255).astype(np.uint8)
+        write_png_gray(os.path.join(root, f"cam0/data/{ns}.png"), l8)
+        write_png_gray(os.path.join(root, f"cam1/data/{ns}.png"), r8)
+        R = seq.R_lw[i]
+        c = -R.T @ seq.t_lw[i]
+        from zenslam_tpu.geometry.lie import rotmat_to_quat
+        import jax.numpy as _jnp
+        q = np.asarray(rotmat_to_quat(_jnp.asarray(R.T)))  # R_wc quaternion
+        gt_rows.append([ns, c[0], c[1], c[2], q[0], q[1], q[2], q[3]])
+    np.savetxt(os.path.join(root, "groundtruth.csv"), np.asarray(gt_rows), delimiter=",")

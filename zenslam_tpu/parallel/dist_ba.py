@@ -77,6 +77,7 @@ def shard_ba_problem(p: BAProblem, n_shards: int, obs_per_shard: int | None = No
     obs_kf = np.asarray(p.obs_kf)
     obs_lm = np.asarray(p.obs_lm)
     obs_uv = np.asarray(p.obs_uv)
+    obs_cam = np.asarray(p.obs_cam)
     obs_ok = np.asarray(p.obs_valid)
     owner = obs_lm // ms
     counts = np.bincount(owner[obs_ok], minlength=n_shards)
@@ -88,6 +89,7 @@ def shard_ba_problem(p: BAProblem, n_shards: int, obs_per_shard: int | None = No
     new_kf = np.zeros(O_new, np.int32)
     new_lm = np.zeros(O_new, np.int32)
     new_uv = np.zeros((O_new, 2), np.float32)
+    new_cam = np.zeros(O_new, np.int32)
     new_ok = np.zeros(O_new, bool)
     for d in range(n_shards):
         sel = np.flatnonzero(obs_ok & (owner == d))[:obs_per_shard]
@@ -96,6 +98,7 @@ def shard_ba_problem(p: BAProblem, n_shards: int, obs_per_shard: int | None = No
         new_kf[base : base + n] = obs_kf[sel]
         new_lm[base : base + n] = obs_lm[sel] - d * ms  # shard-local index
         new_uv[base : base + n] = obs_uv[sel]
+        new_cam[base : base + n] = obs_cam[sel]
         new_ok[base : base + n] = True
 
     return p._replace(
@@ -104,6 +107,7 @@ def shard_ba_problem(p: BAProblem, n_shards: int, obs_per_shard: int | None = No
         obs_kf=jnp.asarray(new_kf),
         obs_lm=jnp.asarray(new_lm),
         obs_uv=jnp.asarray(new_uv),
+        obs_cam=jnp.asarray(new_cam),
         obs_valid=jnp.asarray(new_ok),
     )
 
@@ -129,17 +133,17 @@ def dist_bundle_adjust(
     obs_spec = P("m")
     rep = P()
 
-    def local_cost(R, t, xyz_l, lm_valid_l, obs_kf, obs_lm, obs_uv, obs_ok):
+    def local_cost(R, t, xyz_l, lm_valid_l, obs_kf, obs_lm, obs_uv, obs_cam, obs_ok):
         """Robust cost over this shard's observations (summed via psum)."""
         lp = p._replace(xyz=xyz_l, lm_valid=lm_valid_l, obs_kf=obs_kf,
-                        obs_lm=obs_lm, obs_uv=obs_uv, obs_valid=obs_ok)
+                        obs_lm=obs_lm, obs_uv=obs_uv, obs_cam=obs_cam, obs_valid=obs_ok)
         c, _ = ba_cost(lp, R, t, xyz_l, huber_delta)
         return jax.lax.psum(c, "m")
 
-    def sharded_step(R, t, lam, cost, xyz_l, lm_valid_l, obs_kf, obs_lm, obs_uv, obs_ok):
+    def sharded_step(R, t, lam, cost, xyz_l, lm_valid_l, obs_kf, obs_lm, obs_uv, obs_cam, obs_ok):
         """One LM iteration; runs per-device under shard_map."""
         lp = p._replace(xyz=xyz_l, lm_valid=lm_valid_l, obs_kf=obs_kf,
-                        obs_lm=obs_lm, obs_uv=obs_uv, obs_valid=obs_ok)
+                        obs_lm=obs_lm, obs_uv=obs_uv, obs_cam=obs_cam, obs_valid=obs_ok)
         U_l, g_p_l, V, g_l, A = _build_blocks(lp, R, t, xyz_l, huber_delta)
         # landmark elimination LOCAL to the shard
         lm_active = lm_valid_l if refine_landmarks else jnp.zeros_like(lm_valid_l)
@@ -191,24 +195,22 @@ def dist_bundle_adjust(
     step_sm = shard_map(
         sharded_step,
         mesh=mesh,
-        in_specs=(rep, rep, rep, rep, lm_spec, lm_spec, obs_spec, obs_spec, obs_spec, obs_spec),
+        in_specs=(rep, rep, rep, rep, lm_spec, lm_spec, obs_spec, obs_spec, obs_spec, obs_spec, obs_spec),
         out_specs=(rep, rep, rep, rep, lm_spec, rep),
-        check_rep=False,
-    )
+        )
     cost_sm = shard_map(
         local_cost,
         mesh=mesh,
-        in_specs=(rep, rep, lm_spec, lm_spec, obs_spec, obs_spec, obs_spec, obs_spec),
+        in_specs=(rep, rep, lm_spec, lm_spec, obs_spec, obs_spec, obs_spec, obs_spec, obs_spec),
         out_specs=rep,
-        check_rep=False,
-    )
+        )
 
-    cost0 = cost_sm(p.R, p.t, p.xyz, p.lm_valid, p.obs_kf, p.obs_lm, p.obs_uv, p.obs_valid)
+    cost0 = cost_sm(p.R, p.t, p.xyz, p.lm_valid, p.obs_kf, p.obs_lm, p.obs_uv, p.obs_cam, p.obs_valid)
 
     def scan_body(carry, _):
         R, t, lam, cost, xyz = carry
         R, t, lam, cost, xyz, acc = step_sm(
-            R, t, lam, cost, xyz, p.lm_valid, p.obs_kf, p.obs_lm, p.obs_uv, p.obs_valid
+            R, t, lam, cost, xyz, p.lm_valid, p.obs_kf, p.obs_lm, p.obs_uv, p.obs_cam, p.obs_valid
         )
         return (R, t, lam, cost, xyz), acc
 

@@ -271,13 +271,24 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r):
         n_obs=lmap.n_obs.at[sl].set(1, mode="drop"),
     )
     feats = feats._replace(lm_idx=jnp.where(placed, slot, feats.lm_idx))
-    # observed landmarks: bump last_seen/n_obs (reference keeps first-triangulated
-    # position — `types/map.h` operator+= insert-only semantics)
+    # observed landmarks: bump last_seen/n_obs. The reference keeps the
+    # first-triangulated position forever (`types/map.h` operator+= insert-only
+    # semantics) — that is a known weakness: far landmarks carry meters of
+    # stereo depth noise and never improve, so drift feeds back. With
+    # landmark_ema > 0, each observed landmark's position is averaged with its
+    # fresh triangulation (zero-mean stereo noise integrates out).
     obs_slots = jnp.where(feats.valid & (feats.lm_idx >= 0), feats.lm_idx, lmap.valid.shape[0])
     lmap = lmap._replace(
         last_seen=lmap.last_seen.at[obs_slots].set(state.frame_idx, mode="drop"),
         n_obs=lmap.n_obs.at[obs_slots].add(1, mode="drop"),
     )
+    if cfg.landmark_ema > 0.0:
+        a = cfg.landmark_ema
+        refine = feats.valid & (feats.lm_idx >= 0) & tri_ok & (~placed)
+        ref_slots = jnp.where(refine, feats.lm_idx, lmap.valid.shape[0])
+        old_xyz = lmap.xyz[jnp.clip(feats.lm_idx, 0, None)]
+        blended = (1.0 - a) * old_xyz + a * X_w_new
+        lmap = lmap._replace(xyz=lmap.xyz.at[ref_slots].set(blended, mode="drop"))
     n_new_lm = jnp.sum(placed)
 
     # ---- KEYFRAME -----------------------------------------------------------

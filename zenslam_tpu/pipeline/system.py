@@ -1,0 +1,251 @@
+"""The full keyframe SLAM system: front-end step + live back-end.
+
+This wires together what the reference compiles but never connects
+(SURVEY.md global observation: LBA/keyframe-DB/BoW are test-only there):
+
+  per frame   : jitted slam_step (pipeline/step.py)
+  per keyframe: snapshot into KeyframeDB → windowed Schur BA over the recent
+                window (`BASELINE.json` config[1]/[2]) → pose + landmark
+                write-back (map refinement) → BoW loop-closure query →
+                on a loop hit: PnP against the old keyframe's landmarks,
+                pose-graph optimization over all keyframes (config[3]),
+                correction propagated to the live state.
+
+Host-side control flow decides WHEN (keyframe flags from telemetry); every
+piece of math is a jitted fixed-shape function, so each path compiles once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from zenslam_tpu.geometry.camera import StereoRig, project
+from zenslam_tpu.geometry.lie import se3_apply, se3_compose, se3_inverse
+from zenslam_tpu.pipeline.state import SlamConfig, SlamState, init_state
+from zenslam_tpu.pipeline.step import slam_step
+from zenslam_tpu.backend.keyframes import (
+    KeyframeDB, kf_db_init, kf_db_add, ba_problem_from_db, recent_mask,
+)
+from zenslam_tpu.backend.ba import bundle_adjust
+from zenslam_tpu.backend.pose_graph import PoseGraph, optimize_pose_graph
+from zenslam_tpu.backend.bow import (
+    build_vocabulary, descriptors_to_bow, bow_db_init, bow_db_add, bow_db_query,
+)
+from zenslam_tpu.estimation.pnp import solve_pnp_ransac
+from zenslam_tpu.ops.match import match_descriptors
+
+
+@dataclass
+class BackendConfig:
+    max_keyframes: int = 16
+    ba_window: int = 8              # config[1]: 8-keyframe sliding window
+    ba_iterations: int = 10
+    ba_every_kf: bool = True
+    # loop closure
+    enable_loop_closure: bool = True
+    bow_words: int = 128
+    bow_min_score: float = 0.35
+    bow_min_frame_gap: int = 40
+    loop_min_inliers: int = 15
+    pose_graph_iterations: int = 15
+    # pose-graph edge capacity
+    max_edges: int = 64
+
+
+@dataclass
+class SlamSystem:
+    """Host-side system state around the jitted math."""
+
+    cfg: SlamConfig
+    bcfg: BackendConfig
+    rig: StereoRig
+    state: SlamState
+    kf_db: KeyframeDB
+    bow_db: object
+    vocab: Optional[jnp.ndarray] = None
+    # pose-graph edges (host lists; converted to arrays on demand)
+    edge_i: list = field(default_factory=list)
+    edge_j: list = field(default_factory=list)
+    edge_R: list = field(default_factory=list)
+    edge_t: list = field(default_factory=list)
+    edge_w: list = field(default_factory=list)
+    last_kf_slot: int = -1
+    n_loop_closures: int = 0
+    n_ba_runs: int = 0
+
+
+def create_system(cfg: SlamConfig, bcfg: BackendConfig, rig: StereoRig,
+                  image_shape, seed: int = 0) -> SlamSystem:
+    return SlamSystem(
+        cfg=cfg, bcfg=bcfg, rig=rig,
+        state=init_state(cfg, image_shape, seed=seed),
+        kf_db=kf_db_init(bcfg.max_keyframes, cfg.max_keypoints),
+        bow_db=bow_db_init(bcfg.max_keyframes, bcfg.bow_words),
+    )
+
+
+def _apply_pose_correction(state: SlamState, R_old, t_old, R_new, t_new) -> SlamState:
+    """Propagate a keyframe correction to the live pose:
+    T_cur' = (T_kf_new ∘ T_kf_old^-1) ∘ T_cur."""
+    Ri, ti = se3_inverse(R_old, t_old)
+    Rd, td = se3_compose(R_new, t_new, Ri, ti)
+    R_cur, t_cur = se3_compose(Rd, td, state.R_cw, state.t_cw)
+    return state._replace(R_cw=R_cur, t_cw=t_cur)
+
+
+def _run_windowed_ba(sys: SlamSystem):
+    """Windowed Schur BA over the most recent keyframes; write back."""
+    cam = sys.rig.left
+    window = recent_mask(sys.kf_db, sys.bcfg.ba_window)
+    p = ba_problem_from_db(
+        sys.kf_db, sys.state.lmap.xyz, sys.state.lmap.valid,
+        sys.rig, window_mask=window,
+    )
+    res = bundle_adjust(p, iterations=sys.bcfg.ba_iterations)
+    slot = sys.last_kf_slot
+    R_old = sys.kf_db.R[slot]
+    t_old = sys.kf_db.t[slot]
+    # write back poses & refined landmarks (only those optimized)
+    sys.kf_db = sys.kf_db._replace(R=res["R"], t=res["t"])
+    new_xyz = jnp.where(p.lm_valid[:, None], res["xyz"], sys.state.lmap.xyz)
+    sys.state = sys.state._replace(lmap=sys.state.lmap._replace(xyz=new_xyz))
+    sys.state = _apply_pose_correction(sys.state, R_old, t_old,
+                                       res["R"][slot], res["t"][slot])
+    sys.n_ba_runs += 1
+    return float(res["rmse_before"]), float(res["rmse_after"])
+
+
+def _try_loop_closure(sys: SlamSystem, kf_slot: int, frame_idx: int):
+    """BoW query → descriptor match → PnP vs old keyframe landmarks →
+    pose-graph edge + optimization (config[3])."""
+    bcfg = sys.bcfg
+    db = sys.kf_db
+    hist = descriptors_to_bow(sys.vocab, db.kp_desc[kf_slot], db.kp_valid[kf_slot])
+    scores, frames, slots = bow_db_query(
+        sys.bow_db, hist, frame_idx, min_frame_gap=bcfg.bow_min_frame_gap, top_k=3)
+    sys.bow_db = bow_db_add(sys.bow_db, hist, frame_idx)
+    if float(scores[0]) < bcfg.bow_min_score:
+        return False
+    old_slot = int(slots[0])
+    # descriptor match: current keyframe keypoints vs old keyframe keypoints
+    idx, dist, ok = match_descriptors(
+        db.kp_desc[kf_slot], db.kp_desc[old_slot],
+        db.kp_valid[kf_slot], db.kp_valid[old_slot],
+        max_distance=64, cross_check=True,
+    )
+    # 3D-2D: old keyframe's landmark for each matched pair vs current pixels
+    old_lm = db.kp_lm[old_slot][jnp.clip(idx, 0, None)]
+    corr_ok = ok & (old_lm >= 0) & sys.state.lmap.valid[jnp.clip(old_lm, 0, None)]
+    X = sys.state.lmap.xyz[jnp.clip(old_lm, 0, None)]
+    uv = db.kp_xy[kf_slot]
+    res = solve_pnp_ransac(jax.random.PRNGKey(frame_idx), sys.rig.left.K,
+                           X, uv, corr_ok, threshold=4.0, iters=128)
+    if int(res["n_inliers"]) < bcfg.loop_min_inliers:
+        return False
+    # edge: T_new_old measured = T_new_corrected ∘ T_old^-1
+    Ri, ti = se3_inverse(db.R[old_slot], db.t[old_slot])
+    Rm, tm = se3_compose(res["R"], res["t"], Ri, ti)
+    sys.edge_i.append(kf_slot)
+    sys.edge_j.append(old_slot)
+    sys.edge_R.append(np.asarray(Rm))
+    sys.edge_t.append(np.asarray(tm))
+    sys.edge_w.append(5.0)
+    sys.n_loop_closures += 1
+    _run_pose_graph(sys)
+    return True
+
+
+def _run_pose_graph(sys: SlamSystem):
+    """Optimize all keyframe poses over odometry + loop edges; write back."""
+    K = sys.bcfg.max_keyframes
+    E = sys.bcfg.max_edges
+    n_e = min(len(sys.edge_i), E)
+    edge_i = np.zeros(E, np.int32)
+    edge_j = np.zeros(E, np.int32)
+    edge_R = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
+    edge_t = np.zeros((E, 3), np.float32)
+    edge_w = np.zeros(E, np.float32)
+    edge_valid = np.zeros(E, bool)
+    for e in range(n_e):
+        edge_i[e] = sys.edge_i[e]
+        edge_j[e] = sys.edge_j[e]
+        edge_R[e] = sys.edge_R[e]
+        edge_t[e] = sys.edge_t[e]
+        edge_w[e] = sys.edge_w[e]
+        edge_valid[e] = True
+    db = sys.kf_db
+    slot = sys.last_kf_slot
+    R_old, t_old = db.R[slot], db.t[slot]
+    # gauge: oldest valid keyframe
+    fi = np.asarray(db.frame_idx)
+    fixed = np.zeros(K, bool)
+    valid = np.asarray(db.valid)
+    if valid.any():
+        fixed[np.asarray(jnp.argmin(jnp.where(db.valid, db.frame_idx, jnp.int32(2**30))))] = True
+    g = PoseGraph(
+        R=db.R, t=db.t,
+        node_valid=db.valid, node_fixed=jnp.asarray(fixed),
+        edge_i=jnp.asarray(edge_i), edge_j=jnp.asarray(edge_j),
+        edge_R=jnp.asarray(edge_R), edge_t=jnp.asarray(edge_t),
+        edge_valid=jnp.asarray(edge_valid), edge_weight=jnp.asarray(edge_w),
+    )
+    res = optimize_pose_graph(g, iterations=sys.bcfg.pose_graph_iterations)
+    sys.kf_db = sys.kf_db._replace(R=res["R"], t=res["t"])
+    sys.state = _apply_pose_correction(sys.state, R_old, t_old,
+                                       res["R"][slot], res["t"][slot])
+
+
+def process_frame(sys: SlamSystem, img_l, img_r):
+    """One frame through the full system. Returns telemetry (+ backend info)."""
+    sys.state, tel = slam_step(sys.cfg, sys.rig, sys.state, img_l, img_r)
+    backend_info = {"ba": None, "loop": False}
+    if bool(tel.is_keyframe):
+        feats = sys.state.features
+        prev_slot = sys.last_kf_slot
+        slot = int(sys.kf_db.next_slot)
+        sys.kf_db = kf_db_add(
+            sys.kf_db, sys.state.R_cw, sys.state.t_cw,
+            feats.xy, feats.lm_idx, feats.valid & (feats.lm_idx >= 0),
+            feats.desc, int(sys.state.frame_idx) - 1,
+            kp_uvr=feats.uv_r, kp_stereo=feats.stereo_ok,
+        )
+        sys.last_kf_slot = slot
+        # odometry edge between consecutive keyframes
+        if prev_slot >= 0:
+            Ri, ti = se3_inverse(sys.kf_db.R[prev_slot], sys.kf_db.t[prev_slot])
+            Rm, tm = se3_compose(sys.state.R_cw, sys.state.t_cw, Ri, ti)
+            sys.edge_i.append(slot)
+            sys.edge_j.append(prev_slot)
+            sys.edge_R.append(np.asarray(Rm))
+            sys.edge_t.append(np.asarray(tm))
+            sys.edge_w.append(1.0)
+        # windowed BA (config[1]/[2])
+        if sys.bcfg.ba_every_kf and prev_slot >= 0:
+            backend_info["ba"] = _run_windowed_ba(sys)
+        # loop closure (config[3])
+        if sys.bcfg.enable_loop_closure:
+            if sys.vocab is None:
+                # train the vocabulary on the first keyframe's descriptors
+                sys.vocab = build_vocabulary(
+                    jax.random.PRNGKey(7), feats.desc, feats.valid,
+                    n_words=sys.bcfg.bow_words, iters=6,
+                )
+            frame_idx = int(sys.state.frame_idx) - 1
+            backend_info["loop"] = _try_loop_closure(sys, slot, frame_idx)
+    return tel, backend_info
+
+
+def run_system(sys: SlamSystem, left, right):
+    """Run a (T, H, W) stereo sequence through the full system."""
+    tels, infos = [], []
+    for t in range(left.shape[0]):
+        tel, info = process_frame(sys, jnp.asarray(left[t]), jnp.asarray(right[t]))
+        tels.append(tel)
+        infos.append(info)
+    telem = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *tels)
+    return telem, infos
