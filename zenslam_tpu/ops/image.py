@@ -35,24 +35,26 @@ def _gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+def _sep_filter(img, kernel: np.ndarray):
+    """Separable 2D filter as shift-and-add (reflect padding).
+
+    XLA lowers single-channel convolutions to a scalar path on TPU (~3 ms for
+    a 1x9 tap over 512x384); the same filter as 2k+1 shifted elementwise adds
+    is pure VPU work and fuses with its neighbors — ~100x cheaper here.
+    img: (..., H, W)."""
+    r = len(kernel) // 2
+    x = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(r, r), (0, 0)], mode="reflect")
+    H = img.shape[-2]
+    y = sum(float(kernel[i]) * x[..., i : i + H, :] for i in range(2 * r + 1))
+    x = jnp.pad(y, [(0, 0)] * (img.ndim - 2) + [(0, 0), (r, r)], mode="reflect")
+    W = img.shape[-1]
+    return sum(float(kernel[i]) * x[..., :, i : i + W] for i in range(2 * r + 1))
+
+
 @functools.partial(jax.jit, static_argnames=("sigma", "radius"))
 def gaussian_blur(img, sigma: float = 1.0, radius: int = 2):
     """Separable Gaussian blur with reflect padding. img: (H, W) or (B, H, W)."""
-    k = jnp.asarray(_gaussian_kernel1d(sigma, radius))
-    squeeze = img.ndim == 2
-    if squeeze:
-        img = img[None]
-    x = jnp.pad(img, ((0, 0), (radius, radius), (0, 0)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[:, None], k.reshape(1, 1, -1, 1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[:, 0]
-    x = jnp.pad(x, ((0, 0), (0, 0), (radius, radius)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[:, None], k.reshape(1, 1, 1, -1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[:, 0]
-    return x[0] if squeeze else x
+    return _sep_filter(img, _gaussian_kernel1d(sigma, radius))
 
 
 # 5-tap binomial kernel — the cv::pyrDown kernel (1 4 6 4 1)/16.
@@ -60,19 +62,8 @@ _PYR_K = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
 
 
 def _pyr_down(img):
-    """Blur with the pyrDown kernel and decimate by 2. img: (H, W)."""
-    k = jnp.asarray(_PYR_K)
-    x = jnp.pad(img[None], ((0, 0), (2, 2), (0, 0)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[:, None], k.reshape(1, 1, -1, 1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[:, 0]
-    x = jnp.pad(x, ((0, 0), (0, 0), (2, 2)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[:, None], k.reshape(1, 1, 1, -1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    return x[::2, ::2]
+    """Blur with the pyrDown kernel and decimate by 2. img: (..., H, W)."""
+    return _sep_filter(img, _PYR_K)[..., ::2, ::2]
 
 
 @functools.partial(jax.jit, static_argnames=("levels",))
@@ -185,18 +176,29 @@ _SCHARR_X = np.array([[-3, 0, 3], [-10, 0, 10], [-3, 0, 3]], np.float32) / 32.0
 _SCHARR_Y = _SCHARR_X.T.copy()
 
 
+def _sep_filter2(img, krow: np.ndarray, kcol: np.ndarray):
+    """Separable filter with distinct row/col kernels (reflect padding),
+    as shift-and-add (see _sep_filter)."""
+    r = len(krow) // 2
+    x = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(r, r), (0, 0)], mode="reflect")
+    H = img.shape[-2]
+    y = sum(float(krow[i]) * x[..., i : i + H, :] for i in range(2 * r + 1))
+    c = len(kcol) // 2
+    x = jnp.pad(y, [(0, 0)] * (img.ndim - 2) + [(0, 0), (c, c)], mode="reflect")
+    W = img.shape[-1]
+    return sum(float(kcol[i]) * x[..., :, i : i + W] for i in range(2 * c + 1))
+
+
 @jax.jit
 def scharr_gradients(img):
     """Scharr x/y gradients with reflect padding. Returns (gx, gy), same shape.
 
     The 1/32 normalization matches cv::Scharr with scale 1/32 (the LK
-    convention: gradient of intensity per pixel step).
+    convention: gradient of intensity per pixel step). Scharr is separable:
+    [3,10,3]ᵀ·[-1,0,1]/32.
     """
-    x = jnp.pad(img, 1, mode="reflect")[None, None]
-    kx = jnp.asarray(_SCHARR_X).reshape(1, 1, 3, 3)
-    ky = jnp.asarray(_SCHARR_Y).reshape(1, 1, 3, 3)
-    gx = jax.lax.conv_general_dilated(x, kx, (1, 1), "VALID",
-                                      dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-    gy = jax.lax.conv_general_dilated(x, ky, (1, 1), "VALID",
-                                      dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    smooth = np.array([3.0, 10.0, 3.0]) / 16.0
+    diff = np.array([-1.0, 0.0, 1.0]) / 2.0
+    gx = _sep_filter2(img, smooth, diff)
+    gy = _sep_filter2(img, diff, smooth)
     return gx, gy

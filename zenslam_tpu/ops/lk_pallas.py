@@ -124,8 +124,16 @@ def _lk_point_kernel(
         iG11 = gxx / det_s
         can_track = ok & lvl_ok & eig_ok
 
-        def newton(_, st):
-            fx, fy, conv, _ = st
+        def newton_cond(st):
+            # early exit on convergence — the scalar per-sample overhead
+            # dominates this kernel, and typical points converge in 3-4
+            # Newton steps (≡ the eps termination in cv::calcOpticalFlowPyrLK
+            # / the Metal kernel's epsilon exit)
+            _, _, conv, _, it = st
+            return (~conv) & (it < iters) & can_track
+
+        def newton(st):
+            fx, fy, conv, _, it = st
             T, t_ok = sample(next_ref, l, (x0 + fx) * scale, (y0 + fy) * scale)
             J = T[1 : G - 1, 1 : G - 1]
             e = I - J
@@ -133,15 +141,15 @@ def _lk_point_kernel(
             by = jnp.sum(e * gy)
             dx_ = iG00 * bx + iG01 * by
             dy_ = iG01 * bx + iG11 * by
-            step_ok = can_track & t_ok & (~conv)
+            step_ok = can_track & t_ok
             fx = fx + jnp.where(step_ok, dx_ / scale, 0.0)
             fy = fy + jnp.where(step_ok, dy_ / scale, 0.0)
-            conv = conv | (dx_ * dx_ + dy_ * dy_ < eps * eps)
-            return fx, fy, conv, t_ok
+            conv = (dx_ * dx_ + dy_ * dy_ < eps * eps) | (~t_ok)
+            return fx, fy, conv, t_ok, it + 1
 
-        fx, fy, _, t_ok = jax.lax.fori_loop(
-            0, iters, newton,
-            (fx, fy, jnp.bool_(False), jnp.bool_(True)),
+        fx, fy, _, t_ok, _ = jax.lax.while_loop(
+            newton_cond, newton,
+            (fx, fy, jnp.bool_(False), jnp.bool_(True), jnp.int32(0)),
         )
         # a coarse level that can't track (window out of bounds / flat patch)
         # just contributes nothing; only the FINEST level decides status

@@ -51,18 +51,40 @@ def orb_orientation(img, xy):
     """Intensity-centroid orientation per keypoint: theta = atan2(m01, m10).
 
     img: (H, W); xy: (N, 2). Returns (N,) angle in radians.
+
+    TPU path: the reference/OpenCV evaluate the moments with a per-keypoint
+    disk scan; ~500k scattered loads per frame is the worst access pattern
+    for the TPU memory system. Instead the centroid moments are computed
+    DENSELY for every pixel with integral images (double cumsum + shifted
+    differences — pure VPU) over the 31x31 square patch, then sampled at the
+    keypoints. Square-vs-disk support changes the moments slightly but the
+    centroid DIRECTION (all that matters) is stable; matching is always
+    within one pattern family (see module docstring parity note).
     """
-    offs = jnp.stack(
-        [jnp.asarray(_xx, jnp.float32).reshape(-1), jnp.asarray(_yy, jnp.float32).reshape(-1)],
-        axis=-1,
-    )  # (P, 2)
-    pts = xy[:, None, :] + offs[None, :, :]  # (N, P, 2)
-    vals = bilinear_sample(img, pts)  # (N, P)
-    wx = jnp.asarray(_CENTROID_X.reshape(-1))
-    wy = jnp.asarray(_CENTROID_Y.reshape(-1))
-    m10 = vals @ wx
-    m01 = vals @ wy
-    return jnp.arctan2(m01, m10)
+    H, W = img.shape
+    r = _PATCH_RADIUS
+    xg = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1), jnp.float32)
+    yg = jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W), jnp.float32)
+
+    def box(F):
+        # sum over [y-r, y+r] x [x-r, x+r] (zero outside the image) via an
+        # integral image: P[a, b] = I(a-r-1, b-r-1), zero above/left, clamped
+        # below/right.
+        S = jnp.cumsum(jnp.cumsum(F, 0), 1)
+        P = jnp.pad(S, ((1, 0), (1, 0)))
+        P = jnp.pad(P, ((r, r), (r, r)), mode="edge")
+        return (P[2 * r + 1 :, 2 * r + 1 :] - P[:H, 2 * r + 1 :]
+                - P[2 * r + 1 :, :W] + P[:H, :W])
+
+    bA = box(img)
+    bAx = box(img * xg)
+    bAy = box(img * yg)
+    m10 = bAx - xg * bA
+    m01 = bAy - yg * bA
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, H - 1)
+    flat = yi * W + xi
+    return jnp.arctan2(m01.reshape(-1)[flat], m10.reshape(-1)[flat])
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -73,23 +95,26 @@ def orb_descriptors(img, xy, valid):
     valid: (N,) bool. Returns:
       packed:   (N, 8) uint32  — 256 bits packed, invalid rows all-zero
       angles:   (N,) float32
+
+    Sampling is nearest-pixel on the smoothed image — the same cvRound
+    convention as cv::ORB's GET_VALUE — one flat gather per pattern point.
     """
+    H, W = img.shape
     sm = gaussian_blur(img, sigma=2.0, radius=4)
     theta = orb_orientation(sm, xy)
     c, s = jnp.cos(theta), jnp.sin(theta)
     pat = jnp.asarray(ORB_PATTERN)  # (256, 4)
-    p1 = pat[:, 0:2]
-    p2 = pat[:, 2:4]
+    sm_flat = sm.reshape(-1)
 
-    def rot(p):  # (256,2) rotated per keypoint -> (N, 256, 2)
-        x = p[None, :, 0] * c[:, None] - p[None, :, 1] * s[:, None]
-        y = p[None, :, 0] * s[:, None] + p[None, :, 1] * c[:, None]
-        return jnp.stack([x, y], axis=-1)
+    def sample(px, py):  # (256,) pattern offsets -> (N, 256) NN samples
+        qx = xy[:, 0:1] + px[None, :] * c[:, None] - py[None, :] * s[:, None]
+        qy = xy[:, 1:2] + px[None, :] * s[:, None] + py[None, :] * c[:, None]
+        xi = jnp.clip(jnp.round(qx).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(jnp.round(qy).astype(jnp.int32), 0, H - 1)
+        return sm_flat[yi * W + xi]
 
-    q1 = xy[:, None, :] + rot(p1)
-    q2 = xy[:, None, :] + rot(p2)
-    v1 = bilinear_sample(sm, q1)  # (N, 256)
-    v2 = bilinear_sample(sm, q2)
+    v1 = sample(pat[:, 0], pat[:, 1])
+    v2 = sample(pat[:, 2], pat[:, 3])
     bits = (v1 < v2).astype(jnp.uint32)  # (N, 256)
     bits = bits * valid[:, None].astype(jnp.uint32)
     # pack 256 bits -> 8 uint32 words
