@@ -63,12 +63,31 @@ def estimate_pose_cascade(
 
     # cam1 prior: transfer the prediction through the stereo extrinsics
     R1p, t1p = se3_compose(rig.R_rl, rig.t_rl, R_pred, t_pred)
-    r0 = solve_pnp_ransac(k0, rig.left.K, X0, uv0, valid0,
-                          threshold=pnp_threshold, iters=pnp_iters,
-                          R_init=R_pred, t_init=t_pred)
-    r1 = solve_pnp_ransac(k1, rig.right.K, X1, uv1, valid1,
-                          threshold=pnp_threshold, iters=pnp_iters,
-                          R_init=R1p, t_init=t1p)
+    # the two PnP problems run as ONE vmapped solve: the batched 12x12
+    # eigensolve over 2*iters hypotheses costs the same as over iters (the
+    # batch is embarrassingly parallel), halving the cascade's critical path.
+    # The problems are padded to a common correspondence count (masked rows).
+    n = max(X0.shape[0], X1.shape[0])
+
+    def padn(a, m):
+        return jnp.pad(a, [(0, m - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
+
+    rpair = jax.vmap(
+        lambda k, K, X, uv, v, Ri, ti: solve_pnp_ransac(
+            k, K, X, uv, v, threshold=pnp_threshold, iters=pnp_iters,
+            R_init=Ri, t_init=ti)
+    )(
+        jnp.stack([k0, k1]),
+        jnp.stack([rig.left.K, rig.right.K]),
+        jnp.stack([padn(X0, n), padn(X1, n)]),
+        jnp.stack([padn(uv0, n), padn(uv1, n)]),
+        jnp.stack([padn(valid0, n), padn(valid1, n)]),
+        jnp.stack([R_pred, R1p]), jnp.stack([t_pred, t1p]),
+    )
+    r0 = jax.tree.map(lambda x: x[0], rpair)
+    r1 = jax.tree.map(lambda x: x[1], rpair)
+    r0 = dict(r0, inliers=r0["inliers"][: X0.shape[0]])
+    r1 = dict(r1, inliers=r1["inliers"][: X1.shape[0]])
     r2 = solve_rigid_ransac(k2, src3d, dst3d, valid3d,
                             threshold=rigid_threshold, iters=rigid_iters)
 

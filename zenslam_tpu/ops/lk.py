@@ -68,6 +68,25 @@ def build_lk_pyramid(img, levels: int):
     return stack_pyramid(build_pyramid(img, levels))
 
 
+def build_lk_pyramid_pair(img_l, img_r, levels: int):
+    """Build BOTH stereo pyramids in one batched pass (the pyrDown filter
+    chain runs once on a (2, H, W) stack — half the VPU passes of two
+    separate builds). Returns (pyr_l, pyr_r, sizes)."""
+    from zenslam_tpu.ops.image import _pyr_down
+
+    H, W = img_l.shape
+    cur = jnp.stack([img_l, img_r])
+    pyr = [cur]
+    for _ in range(levels):
+        cur = _pyr_down(cur)
+        pyr.append(cur)
+    padded = [jnp.pad(p, ((0, 0), (0, H - p.shape[1]), (0, W - p.shape[2])))
+              for p in pyr]
+    stack = jnp.stack(padded, axis=1)  # (2, L+1, H, W)
+    sizes = jnp.asarray([[p.shape[1], p.shape[2]] for p in pyr], jnp.float32)
+    return stack[0], stack[1], sizes
+
+
 def _sample_clamped(img, xy, w, h):
     """Bilinear sample with edge replication w.r.t. DYNAMIC level bounds
     (w, h): coordinates clamp into [0, w-1]x[0, h-1]. img is the (H, W)

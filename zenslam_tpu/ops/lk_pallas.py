@@ -1,8 +1,8 @@
 """Pallas TPU kernel for batched pyramidal Lucas-Kanade.
 
 This is the direct TPU analogue of the reference's Metal compute shader
-(`zenslam_metal/source/pyr_lk_metal.mm:16-115`): one grid step per point,
-iterative 2x2 Newton solve, coarse-to-fine, margin/singularity/epsilon exits.
+(`zenslam_metal/source/pyr_lk_metal.mm:16-115`): iterative 2x2 Newton solve
+per point, coarse-to-fine, margin/singularity/epsilon exits.
 
 Why a kernel at all: the pure-JAX LK (ops/lk.py) lowers window sampling to
 XLA gathers — 36M scattered loads per fwd/bwd pair → ~1.1 s/call on a v5e.
@@ -17,6 +17,16 @@ are fused into two one-hot matmuls on the MXU:
 where R/C are separable bilinear selector matrices built from iota
 comparisons against the window's integer offset (dy/dx) and fractional part.
 Gradients are central differences of the sampled grid (≡ Metal kernel).
+
+Two throughput structures on top of that (the kernel is SCALAR-overhead
+bound — runtime is flat in the window radius):
+- B=4 points per grid step, with the four tiles stacked vertically and the
+  four selector pairs merged into BLOCK-DIAGONAL matrices, so each sample
+  step is two MXU matmuls (4G, 128)@(128, 256)@(256, 4G) instead of eight
+  tiny ones, and the loop/addressing scalar work is amortized 4x;
+- the Newton iteration is a while_loop with convergence early-exit (epsilon
+  termination ≡ cv::calcOpticalFlowPyrLK / the Metal kernel) — typical
+  points converge in 3-4 steps, not the iteration cap.
 """
 
 from __future__ import annotations
@@ -30,27 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _TH = 32    # aligned tile rows  (sublane multiple of 8, fits G<=24 + align slack)
 _TW = 256   # aligned tile cols  (lane multiple of 128, fits G + 128 align slack)
+_B = 4      # points per grid step
 
 
-def _selector_rows(G, dy, frac_y):
-    """R (G, _TH): R[r, k] = (1-fy)·[k==r+dy] + fy·[k==r+dy+1]."""
-    k = jax.lax.broadcasted_iota(jnp.int32, (G, _TH), 1)
-    r = jax.lax.broadcasted_iota(jnp.int32, (G, _TH), 0)
-    d = k - r
-    return ((d == dy).astype(jnp.float32) * (1.0 - frac_y)
-            + (d == dy + 1).astype(jnp.float32) * frac_y)
-
-
-def _selector_cols(G, dx, frac_x):
-    """C (_TW, G): C[k, c] = (1-fx)·[k==c+dx] + fx·[k==c+dx+1]."""
-    k = jax.lax.broadcasted_iota(jnp.int32, (_TW, G), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (_TW, G), 1)
-    d = k - c
-    return ((d == dx).astype(jnp.float32) * (1.0 - frac_x)
-            + (d == dx + 1).astype(jnp.float32) * frac_x)
-
-
-def _lk_point_kernel(
+def _lk_block_kernel(
     sizes_ref,   # (2, L) SMEM float32 — true (h, w) per level, TRANSPOSED
     pts_ref,     # (2, N) SMEM float32 (transposed: SMEM pads per ROW)
     init_ref,    # (2, N) SMEM float32
@@ -70,102 +63,143 @@ def _lk_point_kernel(
     W: int,
 ):
     G = 2 * radius + 3           # sampled grid (window + gradient margin)
+    B = _B
+    BG = B * G
     n_win = float((2 * radius + 1) ** 2)
+    base = pl.program_id(0) * B
 
-    i = pl.program_id(0)
-    x0 = pts_ref[0, i]
-    y0 = pts_ref[1, i]
-    fx = init_ref[0, i] - x0
-    fy = init_ref[1, i] - y0
-    ok = valid_ref[0, i] != 0
-    err = jnp.float32(0.0)
+    x0 = [pts_ref[0, base + b] for b in range(B)]
+    y0 = [pts_ref[1, base + b] for b in range(B)]
+    fx = [init_ref[0, base + b] - x0[b] for b in range(B)]
+    fy = [init_ref[1, base + b] - y0[b] for b in range(B)]
+    ok = [valid_ref[0, base + b] != 0 for b in range(B)]
 
-    def sample(ref, l, px, py):
-        """Bilinear (G, G) grid around (px, py) via aligned tile + MXU.
-        Returns (S, in_ok)."""
-        ix = jnp.floor(px)
-        iy = jnp.floor(py)
+    # block-diagonal selector index fields (shared across sample steps)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (BG, B * _TH), 0)
+    k_i = jax.lax.broadcasted_iota(jnp.int32, (BG, B * _TH), 1)
+    row_blk = [(r_i // G == b) & (k_i // _TH == b) for b in range(B)]
+    d_row = (k_i % _TH) - (r_i % G)
+    k2_i = jax.lax.broadcasted_iota(jnp.int32, (_TW, BG), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (_TW, BG), 1)
+    col_blk = [c_i // G == b for b in range(B)]
+    d_col = k2_i - (c_i % G)
+
+    def sample_block(ref, l, pxs, pys):
+        """Bilinear (G, G) grids for B points via stacked aligned tiles +
+        block-diagonal selector matmuls. Returns ([S_b], [in_ok_b])."""
         h = sizes_ref[0, l]
         w = sizes_ref[1, l]
-        in_ok = (ix - radius - 1 >= 0) & (iy - radius - 1 >= 0) & \
-                (ix + radius + 3 <= w) & (iy + radius + 3 <= h)
-        cx = (ix - radius - 1).astype(jnp.int32)   # window top-left (level coords)
-        cy = (iy - radius - 1).astype(jnp.int32)
-        oyal = jnp.clip((cy // 8) * 8, 0, H - _TH)
-        oxal = jnp.clip((cx // 128) * 128, 0, W - _TW)
-        dy = cy - oyal
-        dx = cx - oxal
-        tile = ref[l, pl.ds(pl.multiple_of(oyal, 8), _TH),
-                   pl.ds(pl.multiple_of(oxal, 128), _TW)]
-        R = _selector_rows(G, dy, py - iy)
-        C = _selector_cols(G, dx, px - ix)
-        S = jnp.dot(jnp.dot(R, tile, preferred_element_type=jnp.float32), C,
-                    preferred_element_type=jnp.float32)
-        return S, in_ok
+        tiles = []
+        in_oks = []
+        Rv = jnp.zeros((BG, B * _TH), jnp.float32)
+        Cv = jnp.zeros((_TW, BG), jnp.float32)
+        for b in range(B):
+            px, py = pxs[b], pys[b]
+            ix = jnp.floor(px)
+            iy = jnp.floor(py)
+            in_oks.append((ix - radius - 1 >= 0) & (iy - radius - 1 >= 0)
+                          & (ix + radius + 3 <= w) & (iy + radius + 3 <= h))
+            cx = (ix - radius - 1).astype(jnp.int32)   # window top-left
+            cy = (iy - radius - 1).astype(jnp.int32)
+            oy = jnp.clip((cy // 8) * 8, 0, H - _TH)
+            ox = jnp.clip((cx // 128) * 128, 0, W - _TW)
+            tiles.append(ref[l, pl.ds(pl.multiple_of(oy, 8), _TH),
+                             pl.ds(pl.multiple_of(ox, 128), _TW)])
+            dy = cy - oy
+            dx = cx - ox
+            fyf = py - iy
+            fxf = px - ix
+            Rv = Rv + jnp.where(
+                row_blk[b],
+                (d_row == dy).astype(jnp.float32) * (1.0 - fyf)
+                + (d_row == dy + 1).astype(jnp.float32) * fyf, 0.0)
+            Cv = Cv + jnp.where(
+                col_blk[b],
+                (d_col == dx).astype(jnp.float32) * (1.0 - fxf)
+                + (d_col == dx + 1).astype(jnp.float32) * fxf, 0.0)
+        T = jnp.concatenate(tiles, axis=0)  # (B*_TH, _TW)
+        M = jnp.dot(Rv, T, preferred_element_type=jnp.float32)
+        Sfull = jnp.dot(M, Cv, preferred_element_type=jnp.float32)
+        S = [Sfull[b * G : (b + 1) * G, b * G : (b + 1) * G] for b in range(B)]
+        return S, in_oks
 
+    err = [jnp.float32(0.0)] * B
     for l in range(levels - 1, -1, -1):
         scale = jnp.float32(1.0 / (1 << l))
-        px = x0 * scale
-        py = y0 * scale
-        S, lvl_ok = sample(prev_ref, l, px, py)
-        I = S[1 : G - 1, 1 : G - 1]
-        gx = (S[1 : G - 1, 2:] - S[1 : G - 1, : G - 2]) * 0.5
-        gy = (S[2:, 1 : G - 1] - S[: G - 2, 1 : G - 1]) * 0.5
-        gxx = jnp.sum(gx * gx)
-        gxy = jnp.sum(gx * gy)
-        gyy = jnp.sum(gy * gy)
-        det = gxx * gyy - gxy * gxy
-        tr = gxx + gyy
-        min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
-        eig_ok = (min_eig / n_win) > min_eig_threshold
-        det_s = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-        iG00 = gyy / det_s
-        iG01 = -gxy / det_s
-        iG11 = gxx / det_s
-        can_track = ok & lvl_ok & eig_ok
+        S, lvl_ok = sample_block(prev_ref, l,
+                                 [x * scale for x in x0], [y * scale for y in y0])
+        I, gx, gy = [], [], []
+        iG00, iG01, iG11, can = [], [], [], []
+        for b in range(B):
+            Sb = S[b]
+            I.append(Sb[1 : G - 1, 1 : G - 1])
+            gxb = (Sb[1 : G - 1, 2:] - Sb[1 : G - 1, : G - 2]) * 0.5
+            gyb = (Sb[2:, 1 : G - 1] - Sb[: G - 2, 1 : G - 1]) * 0.5
+            gx.append(gxb)
+            gy.append(gyb)
+            gxx = jnp.sum(gxb * gxb)
+            gxy = jnp.sum(gxb * gyb)
+            gyy = jnp.sum(gyb * gyb)
+            det = gxx * gyy - gxy * gxy
+            tr = gxx + gyy
+            min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+            eig_ok = (min_eig / n_win) > min_eig_threshold
+            det_s = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            iG00.append(gyy / det_s)
+            iG01.append(-gxy / det_s)
+            iG11.append(gxx / det_s)
+            can.append(ok[b] & lvl_ok[b] & eig_ok)
 
         def newton_cond(st):
-            # early exit on convergence — the scalar per-sample overhead
-            # dominates this kernel, and typical points converge in 3-4
-            # Newton steps (≡ the eps termination in cv::calcOpticalFlowPyrLK
-            # / the Metal kernel's epsilon exit)
-            _, _, conv, _, it = st
-            return (~conv) & (it < iters) & can_track
+            _, _, conv, it = st
+            active = jnp.bool_(False)
+            for b in range(B):
+                active = active | (can[b] & ~conv[b])
+            return active & (it < iters)
 
         def newton(st):
-            fx, fy, conv, _, it = st
-            T, t_ok = sample(next_ref, l, (x0 + fx) * scale, (y0 + fy) * scale)
-            J = T[1 : G - 1, 1 : G - 1]
-            e = I - J
-            bx = jnp.sum(e * gx)
-            by = jnp.sum(e * gy)
-            dx_ = iG00 * bx + iG01 * by
-            dy_ = iG01 * bx + iG11 * by
-            step_ok = can_track & t_ok
-            fx = fx + jnp.where(step_ok, dx_ / scale, 0.0)
-            fy = fy + jnp.where(step_ok, dy_ / scale, 0.0)
-            conv = (dx_ * dx_ + dy_ * dy_ < eps * eps) | (~t_ok)
-            return fx, fy, conv, t_ok, it + 1
+            fxs, fys, conv, it = st
+            J, t_ok = sample_block(
+                next_ref, l,
+                [(x0[b] + fxs[b]) * scale for b in range(B)],
+                [(y0[b] + fys[b]) * scale for b in range(B)])
+            nfx, nfy, nconv = [], [], []
+            for b in range(B):
+                e = I[b] - J[b][1 : G - 1, 1 : G - 1]
+                bx = jnp.sum(e * gx[b])
+                by = jnp.sum(e * gy[b])
+                dx_ = iG00[b] * bx + iG01[b] * by
+                dy_ = iG01[b] * bx + iG11[b] * by
+                act = can[b] & (~conv[b]) & t_ok[b]
+                nfx.append(fxs[b] + jnp.where(act, dx_ / scale, 0.0))
+                nfy.append(fys[b] + jnp.where(act, dy_ / scale, 0.0))
+                nconv.append(conv[b] | (dx_ * dx_ + dy_ * dy_ < eps * eps)
+                             | (~t_ok[b]))
+            return tuple(nfx), tuple(nfy), tuple(nconv), it + 1
 
-        fx, fy, _, t_ok, _ = jax.lax.while_loop(
+        fxs, fys, _, _ = jax.lax.while_loop(
             newton_cond, newton,
-            (fx, fy, jnp.bool_(False), jnp.bool_(True), jnp.int32(0)),
+            (tuple(fx), tuple(fy), (jnp.bool_(False),) * B, jnp.int32(0)),
         )
-        # a coarse level that can't track (window out of bounds / flat patch)
-        # just contributes nothing; only the FINEST level decides status
-        # (matches OpenCV/Metal margin semantics — detection border >= r+3
-        # guarantees level-0 windows fit for live keypoints)
+        fx, fy = list(fxs), list(fys)
+        # a coarse level that can't track contributes nothing; only the
+        # FINEST level decides status (≡ OpenCV/Metal margin semantics —
+        # detection border >= r+3 keeps level-0 windows in bounds)
         if l == 0:
-            T, t_ok0 = sample(next_ref, l, (x0 + fx) * scale, (y0 + fy) * scale)
-            J = T[1 : G - 1, 1 : G - 1]
-            err = jnp.sum(jnp.abs(I - J)) / n_win
-            ok = ok & lvl_ok & eig_ok & t_ok & t_ok0
+            Jf, t_ok0 = sample_block(
+                next_ref, 0,
+                [x0[b] + fx[b] for b in range(B)],
+                [y0[b] + fy[b] for b in range(B)])
+            for b in range(B):
+                err[b] = jnp.sum(jnp.abs(I[b] - Jf[b][1 : G - 1, 1 : G - 1])) / n_win
+                ok[b] = can[b] & t_ok0[b]
 
-    is_valid = valid_ref[0, i] != 0
-    out_xy_ref[0, i] = jnp.where(is_valid, x0 + fx, x0)
-    out_xy_ref[1, i] = jnp.where(is_valid, y0 + fy, y0)
-    out_ok_ref[0, i] = ok.astype(jnp.int32)
-    out_err_ref[0, i] = err
+    for b in range(B):
+        is_valid = valid_ref[0, base + b] != 0
+        out_xy_ref[0, base + b] = jnp.where(is_valid, x0[b] + fx[b], x0[b])
+        out_xy_ref[1, base + b] = jnp.where(is_valid, y0[b] + fy[b], y0[b])
+        out_ok_ref[0, base + b] = ok[b].astype(jnp.int32)
+        out_err_ref[0, base + b] = err[b]
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "iters", "interpret"))
@@ -190,14 +224,20 @@ def pyramidal_lk_pallas(
     n = pts.shape[0]
     if init_pts is None:
         init_pts = pts
+    pad = (-n) % _B
+    if pad:
+        pts = jnp.pad(pts, ((0, pad), (0, 0)))
+        init_pts = jnp.pad(init_pts, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
     kernel = functools.partial(
-        _lk_point_kernel,
+        _lk_block_kernel,
         levels=L, radius=radius, iters=iters, eps=eps,
         min_eig_threshold=min_eig_threshold, H=H, W=W,
     )
+    np_ = n + pad
     out_xy, out_ok, out_err = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(np_ // _B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -212,14 +252,14 @@ def pyramidal_lk_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((2, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((2, np_), jnp.float32),
+            jax.ShapeDtypeStruct((1, np_), jnp.int32),
+            jax.ShapeDtypeStruct((1, np_), jnp.float32),
         ],
         interpret=interpret,
     )(sizes.T, pts.T, init_pts.T, valid.astype(jnp.int32)[None, :],
       prev_stack, next_stack)
-    return out_xy.T, (out_ok[0] != 0) & valid, out_err[0]
+    return (out_xy.T[:n], (out_ok[0, :n] != 0) & valid[:n], out_err[0, :n])
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "iters", "interpret"))

@@ -37,7 +37,7 @@ from zenslam_tpu.ops.image import build_pyramid
 from zenslam_tpu.ops.fast import detect_grid_keypoints
 from zenslam_tpu.ops.orb import orb_descriptors
 from zenslam_tpu.ops.match import match_descriptors, radius_gate
-from zenslam_tpu.ops.lk import lk_forward_backward, build_lk_pyramid
+from zenslam_tpu.ops.lk import lk_forward_backward, build_lk_pyramid, build_lk_pyramid_pair
 from zenslam_tpu.ops.lk_pallas import lk_forward_backward_pallas
 from zenslam_tpu.estimation.cascade import estimate_pose_cascade
 from zenslam_tpu.frontend.tables import insert_into_free_slots, allocate_landmark_slots
@@ -198,8 +198,7 @@ def _keyframe_decision(cfg: SlamConfig, state: SlamState, R_cw, t_cw, n_inliers,
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r):
     """Process one stereo frame. Returns (new_state, telemetry)."""
-    pyr_l, sizes = build_lk_pyramid(img_l, cfg.pyramid_levels)
-    pyr_r, _ = build_lk_pyramid(img_r, cfg.pyramid_levels)
+    pyr_l, pyr_r, sizes = build_lk_pyramid_pair(img_l, img_r, cfg.pyramid_levels)
     key, k_est = jax.random.split(state.rng_key)
 
     from zenslam_tpu.geometry.camera import fundamental_from_rig
