@@ -208,6 +208,8 @@ class TestOptionsAndTelemetry:
                 n_pose_inliers=jnp.asarray(50), pose_method=jnp.asarray(0),
                 pose_ok=jnp.asarray(True), tracked_ratio=jnp.asarray(0.9),
                 is_keyframe=jnp.asarray(i == 0), map_size=jnp.asarray(500),
+                n_lines=jnp.asarray(0), n_line_triangulated=jnp.asarray(0),
+                line_map_size=jnp.asarray(0),
                 R_cw=jnp.eye(3), t_cw=jnp.zeros(3),
             )
             w.write(tel, timestamp=i * 0.05, duration_ms=20.0)

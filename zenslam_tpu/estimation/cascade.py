@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from zenslam_tpu.estimation.pnp import solve_pnp_ransac
 from zenslam_tpu.estimation.rigid import solve_rigid_ransac
 from zenslam_tpu.geometry.camera import StereoRig
-from zenslam_tpu.geometry.lie import se3_compose, se3_inverse
+from zenslam_tpu.geometry.lie import se3_compose, se3_inverse, so3_orthonormalize
 
 
 class PoseEstimate(NamedTuple):
@@ -108,7 +108,9 @@ def estimate_pose_cascade(
     def pick(field0, field1, field2, fallback):
         return jnp.where(ok0, field0, jnp.where(ok1, field1, jnp.where(ok2, field2, fallback)))
 
-    R = pick(r0["R"], R1c0, R2c0, R_pred)
+    # re-orthonormalize: downstream motion-model composes use R^T as the
+    # inverse, which squares any f32 orthogonality drift every frame
+    R = so3_orthonormalize(pick(r0["R"], R1c0, R2c0, R_pred))
     t = pick(r0["t"], t1c0, t2c0, t_pred)
     method = jnp.where(ok0, 0, jnp.where(ok1, 1, jnp.where(ok2, 2, 3))).astype(jnp.int32)
     ok = ok0 | ok1 | ok2

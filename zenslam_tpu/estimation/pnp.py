@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from zenslam_tpu.geometry.lie import so3_exp, so3_hat
+from zenslam_tpu.geometry.lie import so3_exp, so3_hat, so3_orthonormalize
 from zenslam_tpu.estimation.ransac import ransac_sample_indices
 
 
@@ -155,7 +155,8 @@ def solve_pnp_ransac(
     n_inl = jnp.sum(inliers)
     mean_err = jnp.sum(jnp.where(inliers, err, 0.0)) / jnp.maximum(n_inl, 1)
     ok = n_inl >= 4
-    return {"R": R, "t": t, "inliers": inliers, "n_inliers": n_inl, "ok": ok, "mean_err": mean_err}
+    return {"R": so3_orthonormalize(R), "t": t, "inliers": inliers,
+            "n_inliers": n_inl, "ok": ok, "mean_err": mean_err}
 
 
 def refine_pnp_gn(K, R0, t0, X, uv, weight_mask, iters: int = 10, huber_delta: float = 2.0, damping: float = 1e-4):

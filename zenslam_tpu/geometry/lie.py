@@ -161,6 +161,22 @@ def se3_apply(R, t, x):
     return jnp.einsum("...ij,...j->...i", R, x) + t
 
 
+def so3_orthonormalize(R):
+    """Project a near-rotation onto SO(3) (symmetric orthogonalization).
+
+    Two Newton steps of R ← R·(3I − RᵀR)/2 — error O(e³) per step, exact
+    enough for f32 drift. Load-bearing: `se3_inverse` uses the transpose,
+    which is only the inverse for EXACT rotations; without periodic
+    re-orthonormalization the motion-model compose chain R_rel = R·R_prevᵀ
+    squares any orthogonality error every frame (det grows (1+e)² — observed
+    blowing up a trajectory in ~10 frames once a f32 PnP solution carried
+    e≈1e-2)."""
+    eye = jnp.eye(3, dtype=R.dtype)
+    for _ in range(2):
+        R = R @ (1.5 * eye - 0.5 * (jnp.swapaxes(R, -1, -2) @ R))
+    return R
+
+
 def rotation_angle(R):
     """Rotation angle in radians of a rotation matrix."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]

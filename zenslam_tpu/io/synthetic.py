@@ -70,11 +70,26 @@ class PlaneWorld(NamedTuple):
     tex_scale: float       # pixels per meter in texture space
 
 
-def make_corridor_world(rng: np.random.Generator, tex_size: int = 1024) -> PlaneWorld:
+def make_corridor_world(rng: np.random.Generator, tex_size: int = 1024,
+                        with_lines: bool = False) -> PlaneWorld:
     """A corridor the camera flies through: end wall (z=6), floor (y=+1.5,
     y-down convention), ceiling (y=-1.2) — depths 1.2-6 m, a good range for
-    an 0.11 m baseline. Plane equation: n·X + d = 0 with d = -n·p."""
+    an 0.11 m baseline. Plane equation: n·X + d = 0 with d = -n·p.
+
+    with_lines=True overlays high-contrast stripes on the plane textures
+    (plank seams / wall edges) that project as true 3D line segments — the
+    synthetic workload for the keyline subsystem."""
     textures = np.stack([smooth_texture(rng, tex_size, tex_size) for _ in range(3)])
+    if with_lines:
+        for p in range(3):
+            tex = textures[p]
+            for _ in range(6):
+                pos = int(rng.uniform(40, tex_size - 40))
+                val = 0.0 if rng.random() < 0.5 else 1.0
+                if rng.random() < 0.5:
+                    tex[pos : pos + 4, :] = val
+                else:
+                    tex[:, pos : pos + 4] = val
     normals = np.array(
         [[0.0, 0.0, 1.0],   # end wall z = 6
          [0.0, 1.0, 0.0],   # floor   y = +1.5
@@ -170,6 +185,7 @@ def make_sequence(
     motion: str = "strafe",
     dt: float = 0.05,
     speed: float = 0.4,
+    with_lines: bool = False,
 ) -> SyntheticSequence:
     """Render a stereo sequence with known groundtruth.
 
@@ -177,7 +193,7 @@ def make_sequence(
     """
     from zenslam_tpu.geometry.lie import so3_exp  # local import to keep io light
 
-    world = make_corridor_world(rng)
+    world = make_corridor_world(rng, with_lines=with_lines)
     rig = default_rig(width, height)
     R_rl = np.asarray(rig.R_rl, np.float64)
     t_rl = np.asarray(rig.t_rl, np.float64)

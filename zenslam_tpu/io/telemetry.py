@@ -19,6 +19,7 @@ COLUMNS = [
     "n_tracked", "n_detected", "n_stereo", "n_triangulated",
     "n_pose_inliers", "pose_method", "pose_ok", "tracked_ratio",
     "is_keyframe", "map_size",
+    "n_lines", "n_line_triangulated", "line_map_size",
     "tx", "ty", "tz", "r00", "r01", "r02", "r10", "r11", "r12",
     "r20", "r21", "r22",
     "duration_total_ms",
@@ -43,6 +44,9 @@ class TelemetryWriter:
             int(tel.n_triangulated), int(tel.n_pose_inliers),
             int(tel.pose_method), bool(tel.pose_ok), float(tel.tracked_ratio),
             bool(tel.is_keyframe), int(tel.map_size),
+            int(getattr(tel, "n_lines", 0)),
+            int(getattr(tel, "n_line_triangulated", 0)),
+            int(getattr(tel, "line_map_size", 0)),
             *[float(x) for x in t], *[float(x) for x in R],
             duration_ms,
         ]

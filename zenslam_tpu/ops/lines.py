@@ -59,8 +59,6 @@ def _cell_support(img, cell_size: int, mag_threshold: float):
     gh, gw = H // cs, W // cs
     gx, gy = scharr_gradients(img)
     mag2 = gx * gx + gy * gy
-    edge = mag2 > mag_threshold * mag_threshold
-    w = jnp.where(edge, mag2, 0.0)
 
     yy = jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W), jnp.float32)
     xx = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1), jnp.float32)
@@ -68,7 +66,16 @@ def _cell_support(img, cell_size: int, mag_threshold: float):
     def cells(a):
         return a.reshape(gh, cs, gw, cs).transpose(0, 2, 1, 3).reshape(gh, gw, cs * cs)
 
-    wc = cells(w)
+    m2c = cells(mag2)
+    # ADAPTIVE edge gate: a pixel supports the cell's line only if its
+    # gradient is both above the absolute floor AND within a fraction of the
+    # cell's strongest gradient — textured backgrounds contribute weak edges
+    # everywhere, which would otherwise wash out the perpendicular-spread
+    # statistic of a genuine stripe (LSD's region growing has the same
+    # magnitude-ordering effect).
+    cell_max = jnp.max(m2c, axis=-1, keepdims=True)
+    gate = jnp.maximum(mag_threshold * mag_threshold, 0.25 * cell_max)
+    wc = jnp.where(m2c > gate, m2c, 0.0)
     xc = cells(xx)
     yc = cells(yy)
     gxc = cells(gx)
@@ -80,9 +87,9 @@ def _cell_support(img, cell_size: int, mag_threshold: float):
     cy = jnp.sum(wc * yc, axis=-1) / wsafe
 
     # gradient structure tensor (weighted by magnitude², edge-gated)
-    jxx = jnp.sum(wc * gxc * gxc / jnp.maximum(cells(mag2), 1e-12), axis=-1)
-    jxy = jnp.sum(wc * gxc * gyc / jnp.maximum(cells(mag2), 1e-12), axis=-1)
-    jyy = jnp.sum(wc * gyc * gyc / jnp.maximum(cells(mag2), 1e-12), axis=-1)
+    jxx = jnp.sum(wc * gxc * gxc / jnp.maximum(m2c, 1e-12), axis=-1)
+    jxy = jnp.sum(wc * gxc * gyc / jnp.maximum(m2c, 1e-12), axis=-1)
+    jyy = jnp.sum(wc * gyc * gyc / jnp.maximum(m2c, 1e-12), axis=-1)
     tr = jxx + jyy
     dd = jxx - jyy
     disc = jnp.sqrt(dd * dd / 4.0 + jxy * jxy)

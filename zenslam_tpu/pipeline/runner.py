@@ -49,9 +49,25 @@ def run_sequence(
         state, telem = jax.lax.scan(body, state, imgs)
         return state, jax.tree.map(np.asarray, telem)
 
+    # stream mode with host->device PREFETCH: transfers for frame t+k are
+    # dispatched while the device computes frame t (≡ the reference's
+    # reader_thread feeding the slam_thread queue, `reader_thread.h:39-72` —
+    # without prefetch each frame pays the full transfer latency serially).
+    depth = 4
+    from collections import deque
+
+    queue = deque()
+    for t in range(min(depth, T)):
+        queue.append((jax.device_put(left[t]), jax.device_put(right[t])))
     telems = []
     for t in range(T):
-        state, tel = slam_step(cfg, rig, state, jnp.asarray(left[t]), jnp.asarray(right[t]))
+        il, ir = queue.popleft()
+        if t + depth < T:
+            queue.append((jax.device_put(left[t + depth]),
+                          jax.device_put(right[t + depth])))
+        state, tel = slam_step(cfg, rig, state, il, ir)
         telems.append(tel)
-    telem = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *telems)
-    return state, telem
+    # stack ON DEVICE, fetch once — per-frame np.asarray fetches would pay a
+    # host round-trip per telemetry leaf per frame
+    telem = jax.tree.map(lambda *xs: jnp.stack(xs), *telems)
+    return state, jax.tree.map(np.asarray, jax.device_get(telem))

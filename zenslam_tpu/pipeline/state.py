@@ -66,6 +66,17 @@ class SlamConfig(NamedTuple):
     landmark_ema: float = 0.0  # 0 = keep first triangulation (reference map::insert semantics)
     # LK implementation: None = auto (Pallas kernel on TPU, scanned XLA on CPU)
     use_pallas_lk: bool | None = None
+    # keylines (`slam_options::use_keylines`, `keyline_detector.cpp`,
+    # `keyline_tracker.cpp`, `line_estimator.cpp` — the reference's line
+    # subsystem; off by default like the reference's tumvi config)
+    use_keylines: bool = False
+    max_keylines: int = 64
+    max_line_landmarks: int = 1024
+    line_min_length: float = 16.0
+    line_max_length: float = 200.0
+    line_match_distance: int = 96     # hamming, line-BRIEF is less peaked than ORB
+    line_mag_threshold: float = 0.06
+    line_epipolar_min_deg: float = 45.0  # direction-vs-epipolar gate (45°-135°)
 
 
 class FeatureTable(NamedTuple):
@@ -79,6 +90,31 @@ class FeatureTable(NamedTuple):
     track_id: jnp.ndarray   # (N,) int32 — stable global feature id (monotone)
     age: jnp.ndarray        # (N,) int32 — frames tracked
     valid: jnp.ndarray      # (N,) bool
+
+
+class LineTable(NamedTuple):
+    """Left-canonical per-frame keyline table (capacity L = max_keylines).
+    ≡ the reference's keyline set in `frame::tracked` (`types/keyline.h`)."""
+
+    ep: jnp.ndarray         # (L, 2, 2) float32 — endpoints in the left image
+    ep_r: jnp.ndarray       # (L, 2, 2) float32 — right-image endpoints
+    stereo_ok: jnp.ndarray  # (L,) bool
+    desc: jnp.ndarray       # (L, 8) uint32 — line-BRIEF packed
+    lm_idx: jnp.ndarray     # (L,) int32 — slot into Line3dMap, -1 = none
+    track_id: jnp.ndarray   # (L,) int32
+    age: jnp.ndarray        # (L,) int32
+    valid: jnp.ndarray      # (L,) bool
+
+
+class Line3dMap(NamedTuple):
+    """World 3D line-segment table (capacity M = max_line_landmarks).
+    ≡ `types/line3d_cloud` (`types/line3d_cloud.h`)."""
+
+    xyz: jnp.ndarray        # (M, 2, 3) float32 — world endpoint pair
+    desc: jnp.ndarray       # (M, 8) uint32
+    valid: jnp.ndarray      # (M,) bool
+    last_seen: jnp.ndarray  # (M,) int32
+    n_obs: jnp.ndarray      # (M,) int32
 
 
 class LandmarkMap(NamedTuple):
@@ -103,6 +139,8 @@ class MotionModel(NamedTuple):
 class SlamState(NamedTuple):
     features: FeatureTable
     lmap: LandmarkMap
+    lines: LineTable
+    line_map: Line3dMap
     # current left-camera pose, world->cam
     R_cw: jnp.ndarray
     t_cw: jnp.ndarray
@@ -113,6 +151,7 @@ class SlamState(NamedTuple):
     frames_since_kf: jnp.ndarray  # () int32
     frame_idx: jnp.ndarray        # () int32
     next_track_id: jnp.ndarray    # () int32
+    next_line_id: jnp.ndarray     # () int32
     # previous-frame left pyramid, stacked (L+1, H, W) (see ops.lk.stack_pyramid)
     prev_pyr_l: jnp.ndarray
     rng_key: jnp.ndarray
@@ -132,6 +171,9 @@ class FrameTelemetry(NamedTuple):
     tracked_ratio: jnp.ndarray
     is_keyframe: jnp.ndarray
     map_size: jnp.ndarray
+    n_lines: jnp.ndarray
+    n_line_triangulated: jnp.ndarray
+    line_map_size: jnp.ndarray
     R_cw: jnp.ndarray
     t_cw: jnp.ndarray
 
@@ -147,6 +189,31 @@ def empty_features(cfg: SlamConfig) -> FeatureTable:
         track_id=jnp.full(n, -1, jnp.int32),
         age=jnp.zeros(n, jnp.int32),
         valid=jnp.zeros(n, bool),
+    )
+
+
+def empty_lines(cfg: SlamConfig) -> LineTable:
+    n = cfg.max_keylines
+    return LineTable(
+        ep=jnp.zeros((n, 2, 2), jnp.float32),
+        ep_r=jnp.zeros((n, 2, 2), jnp.float32),
+        stereo_ok=jnp.zeros(n, bool),
+        desc=jnp.zeros((n, 8), jnp.uint32),
+        lm_idx=jnp.full(n, -1, jnp.int32),
+        track_id=jnp.full(n, -1, jnp.int32),
+        age=jnp.zeros(n, jnp.int32),
+        valid=jnp.zeros(n, bool),
+    )
+
+
+def empty_line_map(cfg: SlamConfig) -> Line3dMap:
+    m = cfg.max_line_landmarks
+    return Line3dMap(
+        xyz=jnp.zeros((m, 2, 3), jnp.float32),
+        desc=jnp.zeros((m, 8), jnp.uint32),
+        valid=jnp.zeros(m, bool),
+        last_seen=jnp.full(m, -1, jnp.int32),
+        n_obs=jnp.zeros(m, jnp.int32),
     )
 
 
@@ -166,6 +233,8 @@ def init_state(cfg: SlamConfig, image_shape, seed: int = 0) -> SlamState:
     return SlamState(
         features=empty_features(cfg),
         lmap=empty_landmarks(cfg),
+        lines=empty_lines(cfg),
+        line_map=empty_line_map(cfg),
         R_cw=jnp.eye(3, dtype=jnp.float32),
         t_cw=jnp.zeros(3, jnp.float32),
         motion=MotionModel(
@@ -178,6 +247,7 @@ def init_state(cfg: SlamConfig, image_shape, seed: int = 0) -> SlamState:
         frames_since_kf=jnp.asarray(0, jnp.int32),
         frame_idx=jnp.asarray(0, jnp.int32),
         next_track_id=jnp.asarray(0, jnp.int32),
+        next_line_id=jnp.asarray(0, jnp.int32),
         prev_pyr_l=jnp.zeros((cfg.pyramid_levels + 1, H, W), jnp.float32),
         rng_key=jax.random.PRNGKey(seed),
     )

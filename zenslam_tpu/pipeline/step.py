@@ -36,6 +36,7 @@ from zenslam_tpu.geometry.triangulate import triangulate_dlt, epipolar_residual
 from zenslam_tpu.ops.image import build_pyramid
 from zenslam_tpu.ops.fast import detect_grid_keypoints
 from zenslam_tpu.ops.orb import orb_descriptors
+from zenslam_tpu.ops.lines import keyline_descriptors
 from zenslam_tpu.ops.match import match_descriptors, radius_gate
 from zenslam_tpu.ops.lk import lk_forward_backward, build_lk_pyramid, build_lk_pyramid_pair
 from zenslam_tpu.ops.lk_pallas import lk_forward_backward_pallas
@@ -225,6 +226,34 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r):
     # ---- STEREO + TRIANGULATE ----------------------------------------------
     feats, X_cam, tri_ok = _stereo_and_triangulate(cfg, rig, pyr_l, pyr_r, sizes, feats, F_rig)
 
+    # ---- KEYLINES (track / detect / describe / associate / stereo) ----------
+    # ≡ keyline_tracker + keyline_detector + line triangulation; the whole
+    # subsystem is compiled out when cfg.use_keylines is False (static flag)
+    lines = state.lines
+    line_map = state.line_map
+    next_line_id = state.next_line_id
+    n_lines = jnp.asarray(0, jnp.int32)
+    n_line_tri = jnp.asarray(0, jnp.int32)
+    if cfg.use_keylines:
+        from zenslam_tpu.pipeline import lines_step as LS
+
+        H, W = pyr_l.shape[-2:]
+        lk_temporal = lambda pts, v, init_pts=None: _lk_fb(
+            cfg, state.prev_pyr_l, pyr_l, sizes, pts, v, init_pts=init_pts)
+        lk_stereo = lambda pts, v, init_pts=None: _lk_fb(
+            cfg, pyr_l, pyr_r, sizes, pts, v, init_pts=init_pts)
+        lines, n_lines_trk = LS.line_temporal_track(
+            cfg, rig, lines, line_map, lk_temporal, R_pred, t_pred, (H, W))
+        lines, n_line_det, next_line_id = LS.line_detect_topup(
+            cfg, img_l, lines, next_line_id)
+        lines = lines._replace(
+            desc=keyline_descriptors(img_l, lines.ep, lines.valid))
+        lines, _ = LS.line_associate(cfg, rig, lines, line_map, R_pred, t_pred)
+        lines, X_line_ep, line_tri_ok = LS.line_stereo_triangulate(
+            cfg, rig, lines, lk_stereo, F_rig)
+        n_lines = jnp.sum(lines.valid)
+        n_line_tri = jnp.sum(line_tri_ok)
+
     # ---- ESTIMATE (cascade PnP cam0 -> cam1 -> rigid) -----------------------
     has_lm = feats.valid & (feats.lm_idx >= 0)
     X_w_lm = state.lmap.xyz[jnp.clip(feats.lm_idx, 0, None)]
@@ -234,9 +263,19 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r):
     Rwp, twp = se3_inverse(R_pred, t_pred)
     X_w_cur = se3_apply(Rwp, twp, X_cam)
     corr3d = has_lm & tri_ok
+    # fold line-endpoint 3D-2D correspondences into the cam0 problem
+    # (≡ combined_estimator / `estimator.cpp:186-219`)
+    X0_est, uv0_est, v0_est = X_w_lm, feats.xy, corr0
+    if cfg.use_keylines:
+        from zenslam_tpu.pipeline import lines_step as LS
+
+        Xl, uvl, vl = LS.line_pose_correspondences(lines, line_map)
+        X0_est = jnp.concatenate([X0_est, Xl])
+        uv0_est = jnp.concatenate([uv0_est, uvl])
+        v0_est = jnp.concatenate([v0_est, vl])
     est = estimate_pose_cascade(
         k_est, rig,
-        X_w_lm, feats.xy, corr0,
+        X0_est, uv0_est, v0_est,
         X_w_lm, feats.uv_r, corr1,
         X_w_cur, X_w_lm, corr3d,
         R_pred, t_pred,
@@ -290,6 +329,15 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r):
         lmap = lmap._replace(xyz=lmap.xyz.at[ref_slots].set(blended, mode="drop"))
     n_new_lm = jnp.sum(placed)
 
+    # ---- LINE MAP UPDATE ----------------------------------------------------
+    if cfg.use_keylines:
+        lines, line_map, _ = LS.line_map_update(
+            cfg, lines, line_map, X_line_ep, line_tri_ok, R_cw, t_cw,
+            state.frame_idx)
+        line_map_size = jnp.sum(line_map.valid)
+    else:
+        line_map_size = jnp.asarray(0, jnp.int32)
+
     # ---- KEYFRAME -----------------------------------------------------------
     is_kf = _keyframe_decision(cfg, state, R_cw, t_cw, est.n_inliers, tracked_ratio)
     last_kf_R = jnp.where(is_kf, R_cw, state.last_kf_R)
@@ -306,6 +354,8 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r):
     new_state = SlamState(
         features=feats,
         lmap=lmap,
+        lines=lines,
+        line_map=line_map,
         R_cw=R_cw,
         t_cw=t_cw,
         motion=motion,
@@ -314,6 +364,7 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r):
         frames_since_kf=frames_since_kf,
         frame_idx=state.frame_idx + 1,
         next_track_id=next_track_id,
+        next_line_id=next_line_id,
         prev_pyr_l=pyr_l,
         rng_key=key,
     )
@@ -328,6 +379,9 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r):
         tracked_ratio=tracked_ratio,
         is_keyframe=is_kf,
         map_size=jnp.sum(lmap.valid),
+        n_lines=n_lines,
+        n_line_triangulated=n_line_tri,
+        line_map_size=line_map_size,
         R_cw=R_cw,
         t_cw=t_cw,
     )
