@@ -265,14 +265,28 @@ def detect_keylines(
     strength = jnp.concatenate([sup["strength"].reshape(-1)] * 2)
 
     eps = canonicalize_endpoints(eps)
+    # Clip segments to the border box (Liang–Barsky) rather than rejecting
+    # lines that touch the image edge — a full-width corridor edge is still a
+    # usable keyline on its interior portion.
+    a, b = eps[:, 0], eps[:, 1]
+    seg_d = b - a
+    lo_box = jnp.asarray([border, border], jnp.float32)
+    hi_box = jnp.asarray([W - 1 - border, H - 1 - border], jnp.float32)
+    safe_d = jnp.where(jnp.abs(seg_d) < 1e-9, 1e-9, seg_d)
+    t0 = (lo_box[None] - a) / safe_d
+    t1 = (hi_box[None] - a) / safe_d
+    t_enter = jnp.max(jnp.where(jnp.abs(seg_d) < 1e-9, 0.0, jnp.minimum(t0, t1)), axis=-1)
+    t_exit = jnp.min(jnp.where(jnp.abs(seg_d) < 1e-9, 1.0, jnp.maximum(t0, t1)), axis=-1)
+    t_lo = jnp.clip(t_enter, 0.0, 1.0)
+    t_hi = jnp.clip(t_exit, 0.0, 1.0)
+    # a degenerate-axis segment must still start inside the box on that axis
+    inside_static = jnp.all(
+        jnp.where(jnp.abs(seg_d) < 1e-9, (a >= lo_box[None]) & (a <= hi_box[None]), True),
+        axis=-1)
+    clip_ok = (t_hi > t_lo) & inside_static
+    eps = jnp.stack([a + t_lo[:, None] * seg_d, a + t_hi[:, None] * seg_d], axis=-2)
     length = jnp.linalg.norm(eps[:, 1] - eps[:, 0], axis=-1)
-    inb = (
-        (jnp.min(eps[..., 0], axis=-1) >= border)
-        & (jnp.max(eps[..., 0], axis=-1) < W - border)
-        & (jnp.min(eps[..., 1], axis=-1) >= border)
-        & (jnp.max(eps[..., 1], axis=-1) < H - border)
-    )
-    ok = emit & inb & (length >= min_length) & (length <= max_length)
+    ok = emit & clip_ok & (length >= min_length) & (length <= max_length)
 
     # thick-line masking over existing keylines: candidate midpoint too close
     # to an existing segment → suppressed (≡ the mask drawn with thickness in
