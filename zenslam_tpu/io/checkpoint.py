@@ -1,0 +1,133 @@
+"""Checkpoint / resume for SLAM state and the full keyframe system.
+
+The reference has NO SLAM-state persistence (SURVEY.md §5: only options YAML
+round-trip `options_writer.cpp`, BoW vocab YAML `bow_vocabulary.cpp:275-327`,
+and CSV telemetry). Restartability is a first-class requirement for the TPU
+build — a multi-host distributed BA job must be resumable mid-sequence — so
+this module provides exact pytree snapshots:
+
+- ``save_pytree`` / ``load_pytree``: any JAX pytree (SlamState, KeyframeDB,
+  BowDatabase, …) to a single ``.npz``. Loading is template-driven — the
+  caller supplies a structurally identical pytree (e.g. from ``init_state``)
+  and gets the saved leaves back in that structure, so no pickling of classes
+  is required and files stay portable across refactors of field ORDER-stable
+  NamedTuples.
+- ``save_system`` / ``load_system``: the whole live ``SlamSystem`` (front-end
+  state + keyframe DB + BoW database + vocabulary + pose-graph edges +
+  counters). Resuming mid-sequence reproduces the exact same downstream
+  trajectory as an uninterrupted run (bit-exact: all device state is captured).
+
+Multi-host note: each host checkpoints its own shard (the dist-BA layer keeps
+landmark blocks host-local, parallel/dist_ba.py); `process_index` is embedded
+in the filename by the caller. Orbax is available in the image for async
+large-scale checkpoints; this format is deliberately dependency-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+_FORMAT_VERSION = 1
+
+
+def _flatten_with_names(tree):
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    names = []
+    leaves = []
+    for path, leaf in leaves_with_paths:
+        names.append(jax.tree_util.keystr(path))
+        leaves.append(leaf)
+    return names, leaves
+
+
+def save_pytree(path: str, tree) -> None:
+    """Save any pytree of arrays to ``path`` (.npz)."""
+    names, leaves = _flatten_with_names(tree)
+    payload = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    payload["__names__"] = np.asarray(names)
+    payload["__version__"] = np.asarray(_FORMAT_VERSION)
+    np.savez(path, **payload)
+
+
+def load_pytree(path: str, template):
+    """Load a pytree saved by :func:`save_pytree` into ``template``'s
+    structure. Leaf paths are validated against the template."""
+    with np.load(path, allow_pickle=False) as data:
+        names = [str(s) for s in data["__names__"]]
+        leaves = [data[f"leaf_{i}"] for i in range(len(names))]
+    t_names, t_leaves = _flatten_with_names(template)
+    if t_names != names:
+        missing = set(t_names) - set(names)
+        extra = set(names) - set(t_names)
+        raise ValueError(
+            f"checkpoint structure mismatch: missing={sorted(missing)} "
+            f"extra={sorted(extra)}")
+    treedef = jax.tree_util.tree_structure(template)
+    new_leaves = [
+        jnp.asarray(saved, dtype=np.asarray(t).dtype)
+        for saved, t in zip(leaves, t_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_system(path: str, system) -> None:
+    """Snapshot a :class:`~zenslam_tpu.pipeline.system.SlamSystem`."""
+    names, leaves = _flatten_with_names(
+        {"state": system.state, "kf_db": system.kf_db, "bow_db": system.bow_db})
+    payload = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    payload["__names__"] = np.asarray(names)
+    payload["__version__"] = np.asarray(_FORMAT_VERSION)
+    payload["has_vocab"] = np.asarray(system.vocab is not None)
+    if system.vocab is not None:
+        payload["vocab"] = np.asarray(system.vocab)
+    n_e = len(system.edge_i)
+    payload["edge_i"] = np.asarray(system.edge_i, np.int32).reshape(n_e)
+    payload["edge_j"] = np.asarray(system.edge_j, np.int32).reshape(n_e)
+    payload["edge_R"] = (np.stack(system.edge_R) if n_e
+                         else np.zeros((0, 3, 3), np.float32))
+    payload["edge_t"] = (np.stack(system.edge_t) if n_e
+                         else np.zeros((0, 3), np.float32))
+    payload["edge_w"] = np.asarray(system.edge_w, np.float32).reshape(n_e)
+    payload["scalars"] = np.asarray(
+        [system.last_kf_slot, system.n_loop_closures, system.n_ba_runs],
+        np.int64)
+    np.savez(path, **payload)
+
+
+def load_system(path: str, cfg, bcfg, rig, image_shape, seed: int = 0):
+    """Rebuild a SlamSystem from :func:`save_system` output. ``cfg``/``bcfg``/
+    ``rig`` must match the saved run (static config is not serialized —
+    it lives in the options YAML, ≡ the reference's config round-trip)."""
+    from zenslam_tpu.pipeline.system import create_system
+
+    system = create_system(cfg, bcfg, rig, image_shape, seed=seed)
+    with np.load(path, allow_pickle=False) as data:
+        names = [str(s) for s in data["__names__"]]
+        leaves = [data[f"leaf_{i}"] for i in range(len(names))]
+        template = {"state": system.state, "kf_db": system.kf_db,
+                    "bow_db": system.bow_db}
+        t_names, t_leaves = _flatten_with_names(template)
+        if t_names != names:
+            raise ValueError("checkpoint structure mismatch for SlamSystem")
+        treedef = jax.tree_util.tree_structure(template)
+        new_leaves = [jnp.asarray(s, dtype=np.asarray(t).dtype)
+                      for s, t in zip(leaves, t_leaves)]
+        restored = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        system.state = restored["state"]
+        system.kf_db = restored["kf_db"]
+        system.bow_db = restored["bow_db"]
+        if bool(data["has_vocab"]):
+            system.vocab = jnp.asarray(data["vocab"])
+        system.edge_i = [int(x) for x in data["edge_i"]]
+        system.edge_j = [int(x) for x in data["edge_j"]]
+        system.edge_R = [x for x in data["edge_R"]]
+        system.edge_t = [x for x in data["edge_t"]]
+        system.edge_w = [float(x) for x in data["edge_w"]]
+        s = data["scalars"]
+        system.last_kf_slot = int(s[0])
+        system.n_loop_closures = int(s[1])
+        system.n_ba_runs = int(s[2])
+    return system

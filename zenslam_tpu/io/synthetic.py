@@ -175,6 +175,82 @@ class SyntheticSequence(NamedTuple):
     t_lw: np.ndarray        # (T, 3)
     timestamps: np.ndarray  # (T,) seconds
     rig: StereoRig
+    # IMU (present when make_sequence(with_imu=True); body frame = left cam):
+    gyro: np.ndarray = None      # (T, S, 3) rad/s
+    accel: np.ndarray = None     # (T, S, 3) m/s² specific force
+    imu_dts: np.ndarray = None   # (T, S) seconds
+    imu_mask: np.ndarray = None  # (T, S) bool (frame 0 all-False)
+    gravity_w: np.ndarray = None # (3,) true gravity in world frame
+
+
+def _np_so3_log(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> axis-angle vector (numpy, float64)."""
+    c = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(c)
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    s = 2.0 * np.sin(theta)
+    if theta < 1e-8:
+        return 0.5 * w
+    return (theta / s) * w
+
+
+def make_imu(
+    pose_fn,
+    timestamps: np.ndarray,
+    samples_per_frame: int = 10,
+    gravity_w=(0.0, 9.81, 0.0),
+    rng: np.random.Generator | None = None,
+    gyro_noise: float = 0.0,
+    accel_noise: float = 0.0,
+):
+    """Synthesize body-frame IMU from a continuous pose trajectory.
+
+    ≡ the role of the dataset IMU stream sliced per frame interval by
+    `folder_reader.cpp:130-202`. pose_fn(t) -> (R_cw, t_cw) world->cam
+    (float64); body = left camera (rig.R_ci = I). Gyro/accel are exact
+    numerical derivatives of the trajectory; the accelerometer measures
+    specific force f_b = R_bw (a_w - g_w).
+
+    Returns (gyro (T,S,3), accel (T,S,3), dts (T,S), mask (T,S)) float32.
+    """
+    g_w = np.asarray(gravity_w, np.float64)
+    T = len(timestamps)
+    S = samples_per_frame
+    gyro = np.zeros((T, S, 3), np.float64)
+    accel = np.zeros((T, S, 3), np.float64)
+    dts = np.zeros((T, S), np.float64)
+    mask = np.zeros((T, S), bool)
+    eps = 1e-4
+
+    def body_pose(t):
+        R_cw, t_cw = pose_fn(t)
+        R_wb = R_cw.T            # body = cam; R_wb = R_wc
+        p_w = -R_cw.T @ t_cw     # camera center in world
+        return R_wb, p_w
+
+    for k in range(1, T):
+        t0, t1 = timestamps[k - 1], timestamps[k]
+        h = (t1 - t0) / S
+        for j in range(S):
+            tm = t0 + (j + 0.5) * h  # interval midpoint
+            R0, _ = body_pose(tm - eps / 2)
+            R1, _ = body_pose(tm + eps / 2)
+            w_b = _np_so3_log(R0.T @ R1) / eps
+            _, pm = body_pose(tm)
+            _, pa = body_pose(tm - eps)
+            _, pb = body_pose(tm + eps)
+            a_w = (pb - 2.0 * pm + pa) / (eps * eps)
+            R_wb, _ = body_pose(tm)
+            f_b = R_wb.T @ (a_w - g_w)
+            gyro[k, j] = w_b
+            accel[k, j] = f_b
+            dts[k, j] = h
+            mask[k, j] = True
+    if rng is not None and (gyro_noise > 0 or accel_noise > 0):
+        gyro += rng.normal(0, gyro_noise, gyro.shape)
+        accel += rng.normal(0, accel_noise, accel.shape)
+    return (gyro.astype(np.float32), accel.astype(np.float32),
+            dts.astype(np.float32), mask)
 
 
 def make_sequence(
@@ -186,21 +262,34 @@ def make_sequence(
     dt: float = 0.05,
     speed: float = 0.4,
     with_lines: bool = False,
+    with_imu: bool = False,
+    imu_samples_per_frame: int = 10,
+    gravity_w=(0.0, 9.81, 0.0),
 ) -> SyntheticSequence:
     """Render a stereo sequence with known groundtruth.
 
     motion: 'strafe' (x translation), 'forward' (z), 'arc' (translation + yaw).
+    with_imu: also synthesize body-frame IMU samples per frame interval
+    (body = left camera; ≡ the dataset IMU stream the reference slices per
+    frame, `folder_reader.cpp:130-202`).
     """
-    from zenslam_tpu.geometry.lie import so3_exp  # local import to keep io light
-
     world = make_corridor_world(rng, with_lines=with_lines)
     rig = default_rig(width, height)
     R_rl = np.asarray(rig.R_rl, np.float64)
     t_rl = np.asarray(rig.t_rl, np.float64)
 
-    lefts, rights, Rs, ts = [], [], [], []
-    for i in range(n_frames):
-        s = i * dt * speed
+    def _np_so3_exp(w):
+        th = np.linalg.norm(w)
+        if th < 1e-12:
+            return np.eye(3)
+        k = w / th
+        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0.0]])
+        return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+    def pose_fn(t: float):
+        """Continuous trajectory (float64): returns (R_cw, t_cw)."""
+        s = t * speed
+        i_cont = t / dt
         if motion == "strafe":
             c_w = np.array([s, 0.0, 0.0])
             R_wc = np.eye(3)
@@ -208,24 +297,38 @@ def make_sequence(
             c_w = np.array([0.0, 0.0, s])
             R_wc = np.eye(3)
         else:  # arc
-            yaw = 0.2 * i * dt
-            R_wc = np.asarray(so3_exp(jnp.array([0.0, yaw, 0.0], jnp.float32)), np.float64)
-            c_w = np.array([s, 0.02 * np.sin(0.5 * i), 0.3 * s])
+            yaw = 0.2 * t
+            R_wc = _np_so3_exp(np.array([0.0, yaw, 0.0]))
+            c_w = np.array([s, 0.02 * np.sin(0.5 * i_cont), 0.3 * s])
         R_cw = R_wc.T
         t_cw = -R_cw @ c_w
+        return R_cw, t_cw
+
+    timestamps = np.arange(n_frames, dtype=np.float64) * dt
+    lefts, rights, Rs, ts = [], [], [], []
+    for i in range(n_frames):
+        R_cw, t_cw = pose_fn(timestamps[i])
         R_rcw = R_rl @ R_cw
         t_rcw = R_rl @ t_cw + t_rl
         lefts.append(render_view(world, rig.left, R_cw, t_cw, height, width))
         rights.append(render_view(world, rig.right, R_rcw, t_rcw, height, width))
         Rs.append(R_cw.astype(np.float32))
         ts.append(t_cw.astype(np.float32))
+
+    imu = {}
+    if with_imu:
+        gyro, accel, imu_dts, imu_mask = make_imu(
+            pose_fn, timestamps, imu_samples_per_frame, gravity_w)
+        imu = dict(gyro=gyro, accel=accel, imu_dts=imu_dts, imu_mask=imu_mask,
+                   gravity_w=np.asarray(gravity_w, np.float32))
     return SyntheticSequence(
         left=np.stack(lefts),
         right=np.stack(rights),
         R_lw=np.stack(Rs),
         t_lw=np.stack(ts),
-        timestamps=np.arange(n_frames, dtype=np.float64) * dt,
+        timestamps=timestamps,
         rig=rig,
+        **imu,
     )
 
 

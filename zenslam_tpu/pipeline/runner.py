@@ -27,11 +27,14 @@ def run_sequence(
     seed: int = 0,
     mode: str = "stream",
     state=None,
+    imu=None,
 ):
     """Run SLAM over a (T, H, W) stereo sequence.
 
     mode='stream': python loop (async dispatch pipelining, telemetry per frame)
     mode='scan'  : single lax.scan — maximal device residency for offline runs.
+    imu: optional (gyro (T,S,3), accel (T,S,3), dts (T,S), mask (T,S)) — the
+    per-frame-interval IMU batches (enables the VIO path of slam_step).
 
     Returns (final_state, telemetry_pytree_stacked_over_T).
     """
@@ -40,13 +43,20 @@ def run_sequence(
         state = init_state(cfg, (H, W), seed=seed)
 
     if mode == "scan":
-        def body(st, imgs):
-            il, ir = imgs
-            st, tel = slam_step(cfg, rig, st, il, ir)
-            return st, tel
-
-        imgs = (jnp.asarray(left), jnp.asarray(right))
-        state, telem = jax.lax.scan(body, state, imgs)
+        if imu is None:
+            def body(st, xs):
+                il, ir = xs
+                st, tel = slam_step(cfg, rig, st, il, ir)
+                return st, tel
+            xs = (jnp.asarray(left), jnp.asarray(right))
+        else:
+            def body(st, xs):
+                il, ir, g, a, d, m = xs
+                st, tel = slam_step(cfg, rig, st, il, ir, imu=(g, a, d, m))
+                return st, tel
+            xs = (jnp.asarray(left), jnp.asarray(right)) + tuple(
+                jnp.asarray(x) for x in imu)
+        state, telem = jax.lax.scan(body, state, xs)
         return state, jax.tree.map(np.asarray, telem)
 
     # stream mode with host->device PREFETCH: transfers for frame t+k are
@@ -56,16 +66,21 @@ def run_sequence(
     depth = 4
     from collections import deque
 
+    def put(t):
+        pair = (jax.device_put(left[t]), jax.device_put(right[t]))
+        if imu is None:
+            return pair + (None,)
+        return pair + (tuple(jax.device_put(x[t]) for x in imu),)
+
     queue = deque()
     for t in range(min(depth, T)):
-        queue.append((jax.device_put(left[t]), jax.device_put(right[t])))
+        queue.append(put(t))
     telems = []
     for t in range(T):
-        il, ir = queue.popleft()
+        il, ir, fi = queue.popleft()
         if t + depth < T:
-            queue.append((jax.device_put(left[t + depth]),
-                          jax.device_put(right[t + depth])))
-        state, tel = slam_step(cfg, rig, state, il, ir)
+            queue.append(put(t + depth))
+        state, tel = slam_step(cfg, rig, state, il, ir, imu=fi)
         telems.append(tel)
     # stack ON DEVICE, fetch once — per-frame np.asarray fetches would pay a
     # host round-trip per telemetry leaf per frame

@@ -127,6 +127,50 @@ class LandmarkMap(NamedTuple):
     n_obs: jnp.ndarray      # (M,) int32 — number of observations
 
 
+class VioState(NamedTuple):
+    """Visual-inertial state carried across frames.
+
+    ≡ the reference's slam_thread-owned IMU machinery: inertial_predictor
+    velocity/gravity state (`inertial_predictor.h:16-74`), gravity_estimator
+    sample buffer (`gravity_estimator.cpp:6-134`), and the integrator's bias
+    carry-over (`integrator.cpp:184-215`)."""
+
+    v_world: jnp.ndarray       # (3,) body velocity in world frame
+    gravity_w: jnp.ndarray     # (3,) current gravity estimate (world)
+    gravity_ok: jnp.ndarray    # () bool — enough samples accepted
+    bias_gyro: jnp.ndarray     # (3,)
+    bias_accel: jnp.ndarray    # (3,)
+    # gravity-estimator sample ring (component-median, `gravity_estimator.cpp`)
+    grav_samples: jnp.ndarray  # (C, 3)
+    grav_valid: jnp.ndarray    # (C,) bool
+    grav_next: jnp.ndarray     # () int32
+    # 3-pose history of the body (p in world, R_wb) + interval dt and mean
+    # specific force, for the central-difference VO-acceleration sample
+    hist_p: jnp.ndarray        # (3, 3) oldest-first body positions
+    hist_R_wb: jnp.ndarray     # (3, 3, 3)
+    hist_dt: jnp.ndarray       # (2,) dt between consecutive history poses
+    hist_f: jnp.ndarray        # (2, 3) mean specific force per interval
+    hist_n: jnp.ndarray        # () int32 — number of valid history poses
+
+
+def init_vio(gravity_capacity: int = 64) -> VioState:
+    return VioState(
+        v_world=jnp.zeros(3, jnp.float32),
+        gravity_w=jnp.zeros(3, jnp.float32),
+        gravity_ok=jnp.asarray(False),
+        bias_gyro=jnp.zeros(3, jnp.float32),
+        bias_accel=jnp.zeros(3, jnp.float32),
+        grav_samples=jnp.zeros((gravity_capacity, 3), jnp.float32),
+        grav_valid=jnp.zeros(gravity_capacity, bool),
+        grav_next=jnp.asarray(0, jnp.int32),
+        hist_p=jnp.zeros((3, 3), jnp.float32),
+        hist_R_wb=jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (3, 1, 1)),
+        hist_dt=jnp.zeros(2, jnp.float32),
+        hist_f=jnp.zeros((2, 3), jnp.float32),
+        hist_n=jnp.asarray(0, jnp.int32),
+    )
+
+
 class MotionModel(NamedTuple):
     """Constant-velocity model ≡ `motion_predictor.cpp:5-38` (EMA-smoothed
     relative motion), applied on the left-camera pose T_cam_world."""
@@ -155,6 +199,7 @@ class SlamState(NamedTuple):
     # previous-frame left pyramid, stacked (L+1, H, W) (see ops.lk.stack_pyramid)
     prev_pyr_l: jnp.ndarray
     rng_key: jnp.ndarray
+    vio: VioState
 
 
 class FrameTelemetry(NamedTuple):
@@ -250,4 +295,5 @@ def init_state(cfg: SlamConfig, image_shape, seed: int = 0) -> SlamState:
         next_line_id=jnp.asarray(0, jnp.int32),
         prev_pyr_l=jnp.zeros((cfg.pyramid_levels + 1, H, W), jnp.float32),
         rng_key=jax.random.PRNGKey(seed),
+        vio=init_vio(),
     )

@@ -42,11 +42,15 @@ from zenslam_tpu.ops.lk import lk_forward_backward, build_lk_pyramid, build_lk_p
 from zenslam_tpu.ops.lk_pallas import lk_forward_backward_pallas
 from zenslam_tpu.estimation.cascade import estimate_pose_cascade
 from zenslam_tpu.frontend.tables import insert_into_free_slots, allocate_landmark_slots
+from zenslam_tpu.imu.preintegration import preintegrate
+from zenslam_tpu.imu.predictors import inertial_predict_pose, propagate_velocity
+from zenslam_tpu.imu.gravity import GravityEstimator, gravity_add_sample, gravity_estimate
 from zenslam_tpu.pipeline.state import (
     SlamConfig,
     SlamState,
     FeatureTable,
     FrameTelemetry,
+    VioState,
 )
 
 
@@ -180,6 +184,79 @@ def _associate_landmarks(cfg: SlamConfig, rig: StereoRig, feats: FeatureTable, l
     return feats._replace(lm_idx=new_lm_idx), jnp.sum(ok & free_kp)
 
 
+def _body_pose_world(rig: StereoRig, R_cw, t_cw):
+    """Body (IMU) rotation R_wb and position p_w from the camera pose
+    (T_iw = T_ci^-1 ∘ T_cw, ≡ `inertial_predictor.h:16-74` conventions)."""
+    Ric, tic = se3_inverse(rig.R_ci, rig.t_ci)
+    R_iw, t_iw = se3_compose(Ric, tic, R_cw, t_cw)
+    R_wi, p_wi = se3_inverse(R_iw, t_iw)
+    return R_wi, p_wi
+
+
+def _vio_predict(rig: StereoRig, state: SlamState, integral, R_pred_cv, t_pred_cv):
+    """Inertial pose prediction when gravity+velocity are observable; falls
+    back to the constant-velocity prediction (≡ `slam_thread.cpp:126-132`:
+    motion.predict + inertial.predict, inertial wins when gravity is set)."""
+    vio = state.vio
+    R_i, t_i = inertial_predict_pose(
+        state.R_cw, state.t_cw, vio.v_world, vio.gravity_w, integral,
+        rig.R_ci, rig.t_ci)
+    use = vio.gravity_ok & (vio.hist_n >= 1) & (integral.dt > 0)
+    R_pred = jnp.where(use, R_i, R_pred_cv)
+    t_pred = jnp.where(use, t_i, t_pred_cv)
+    return R_pred, t_pred
+
+
+def _vio_update(rig: StereoRig, vio: VioState, integral, accel, mask,
+                R_cw_prev, t_cw_prev, R_cw, t_cw, pose_ok):
+    """Post-estimation VIO bookkeeping: velocity from VO pose differences
+    (IMU-propagated fallback), gravity-estimator sample + re-estimate
+    (≡ `slam_thread.cpp:221-235`: gravity_estimator.add, motion/inertial
+    update)."""
+    R_wb_now, p_now = _body_pose_world(rig, R_cw, t_cw)
+    R_wb_prev, _ = _body_pose_world(rig, R_cw_prev, t_cw_prev)
+    dt = integral.dt
+
+    # velocity: VO finite difference when a previous pose exists, else
+    # IMU propagation (`inertial_predictor.h` update path)
+    prev_p = vio.hist_p[2]
+    have_prev = vio.hist_n >= 1
+    v_vo = (p_now - prev_p) / jnp.maximum(dt, 1e-6)
+    v_imu = propagate_velocity(vio.v_world, vio.gravity_w, R_wb_prev, integral)
+    v_new = jnp.where(pose_ok & have_prev & (dt > 0), v_vo,
+                      jnp.where(vio.gravity_ok & (dt > 0), v_imu, vio.v_world))
+
+    # mean specific force over this interval (bias-corrected)
+    n_s = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    f_mean = jnp.sum(jnp.where(mask[:, None], accel, 0.0), axis=0) / n_s - vio.bias_accel
+
+    # shift-append the 3-pose history (oldest-first, latest at index 2)
+    hist_p = jnp.concatenate([vio.hist_p[1:], p_now[None]])
+    hist_R = jnp.concatenate([vio.hist_R_wb[1:], R_wb_now[None]])
+    hist_dt = jnp.concatenate([vio.hist_dt[1:], dt[None]])
+    hist_f = jnp.concatenate([vio.hist_f[1:], f_mean[None]])
+    hist_n = jnp.minimum(vio.hist_n + 1, 3)
+
+    # gravity sample from central-difference VO acceleration vs measured
+    # specific force at the middle pose (`gravity_estimator.cpp:6-84`)
+    est = GravityEstimator(samples=vio.grav_samples, valid=vio.grav_valid,
+                           next_slot=vio.grav_next)
+    f_mid = 0.5 * (hist_f[0] + hist_f[1])
+    est_new = gravity_add_sample(est, hist_p[0], hist_p[1], hist_p[2],
+                                 hist_dt[0], hist_dt[1], hist_R[1], f_mid)
+    can_sample = (vio.hist_n >= 2) & pose_ok & (hist_dt > 0).all()
+    est = jax.tree.map(lambda n, o: jnp.where(can_sample, n, o), est_new, est)
+    g, g_ok = gravity_estimate(est)
+    return vio._replace(
+        v_world=v_new,
+        gravity_w=jnp.where(g_ok, g, vio.gravity_w),
+        gravity_ok=g_ok | vio.gravity_ok,
+        grav_samples=est.samples, grav_valid=est.valid, grav_next=est.next_slot,
+        hist_p=hist_p, hist_R_wb=hist_R, hist_dt=hist_dt, hist_f=hist_f,
+        hist_n=hist_n,
+    )
+
+
 def _keyframe_decision(cfg: SlamConfig, state: SlamState, R_cw, t_cw, n_inliers, tracked_ratio):
     """≡ `keyframe_selector::decide` (`keyframe_selector.cpp:14-55`)."""
     first = state.frame_idx == 0
@@ -197,16 +274,31 @@ def _keyframe_decision(cfg: SlamConfig, state: SlamState, R_cw, t_cw, n_inliers,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r):
-    """Process one stereo frame. Returns (new_state, telemetry)."""
+def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
+              imu=None):
+    """Process one stereo frame. Returns (new_state, telemetry).
+
+    imu: optional (gyro (S,3), accel (S,3), dts (S,), mask (S,)) — the IMU
+    samples of the interval ending at this frame (≡ `processor.cpp:57-63`
+    preintegration thread + the predict/update IMU path of
+    `slam_thread.cpp:126-132, 221-235`). The VIO branch is compiled only
+    when provided.
+    """
     pyr_l, pyr_r, sizes = build_lk_pyramid_pair(img_l, img_r, cfg.pyramid_levels)
     key, k_est = jax.random.split(state.rng_key)
 
     from zenslam_tpu.geometry.camera import fundamental_from_rig
     F_rig = fundamental_from_rig(rig)
 
-    # ---- PREDICT ------------------------------------------------------------
+    # ---- PREPROCESS (IMU preintegration) + PREDICT ---------------------------
     R_pred, t_pred = _predict_pose(state)
+    integral = None
+    if imu is not None:
+        gyro, accel, imu_dts, imu_mask = imu
+        integral = preintegrate(gyro, accel, imu_dts, imu_mask,
+                                bias_gyro=state.vio.bias_gyro,
+                                bias_accel=state.vio.bias_accel)
+        R_pred, t_pred = _vio_predict(rig, state, integral, R_pred, t_pred)
 
     # ---- TRACK (temporal) ---------------------------------------------------
     feats, n_tracked = _temporal_track(cfg, rig, state, pyr_l, sizes, R_pred, t_pred)
@@ -350,6 +442,10 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r):
     motion = state.motion._replace(
         R_rel=R_rel, t_rel=t_rel, initialized=jnp.asarray(True),
     )
+    vio = state.vio
+    if imu is not None:
+        vio = _vio_update(rig, vio, integral, accel, imu_mask,
+                          state.R_cw, state.t_cw, R_cw, t_cw, est.ok)
 
     new_state = SlamState(
         features=feats,
@@ -367,6 +463,7 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r):
         next_line_id=next_line_id,
         prev_pyr_l=pyr_l,
         rng_key=key,
+        vio=vio,
     )
     telem = FrameTelemetry(
         n_tracked=n_tracked,
