@@ -31,6 +31,32 @@ def _normalized(K, uv):
     return jnp.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy], axis=-1)
 
 
+def _smallest_eigvec_12(ATA):
+    """Smallest eigenvector of a 12x12 PSD normal matrix via shifted inverse
+    iteration (one Cholesky + a few triangular solves).
+
+    jnp.linalg.eigh lowers to iterative Jacobi sweeps on TPU and dominates the
+    vmapped RANSAC hypothesis batch; inverse iteration is ~an order of
+    magnitude cheaper and the DLT null vector is well separated from the rest
+    of the spectrum (exact-data smallest eig is 0). The shift 1e-6·tr/12 keeps
+    the f32 Cholesky positive-definite while staying far below the next
+    eigenvalue, so one solve already lands on the null space; the extra
+    iterations cover noisy/near-degenerate samples (which the prior-seeded GN
+    path backstops anyway).
+    """
+    tr = jnp.trace(ATA)
+    scale = jnp.maximum(tr / 12.0, 1e-20)
+    A = ATA / scale + 1e-6 * jnp.eye(12, dtype=ATA.dtype)
+    chol = jax.scipy.linalg.cho_factor(A, lower=True)
+    v = jnp.full((12,), 1.0 / jnp.sqrt(12.0), ATA.dtype)
+
+    def it(_, v):
+        z = jax.scipy.linalg.cho_solve(chol, v)
+        return z / jnp.maximum(jnp.linalg.norm(z), 1e-30)
+
+    return jax.lax.fori_loop(0, 6, it, v)
+
+
 def pnp_dlt(X, xn, w=None):
     """DLT pose from ≥6 3D-2D correspondences in normalized coords.
 
@@ -53,8 +79,7 @@ def pnp_dlt(X, xn, w=None):
     rows_v = jnp.concatenate([zero, Xh, -v * Xh], axis=-1)
     A = jnp.concatenate([rows_u * w[:, None], rows_v * w[:, None]], axis=0)  # (2n, 12)
     ATA = A.T @ A
-    _, vecs = jnp.linalg.eigh(ATA)
-    p = vecs[:, 0]
+    p = _smallest_eigvec_12(ATA)
     P = p.reshape(3, 4)
     # the homogeneous solution is defined up to sign: fix it by cheirality on
     # the raw projective depths lambda = P[2]·Xh (must be > 0 for points in front)
