@@ -23,9 +23,14 @@ def timeit(fn, *args, n=20, label=""):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=384)
+    args = ap.parse_args()
     cfg = SlamConfig()
-    seq = make_sequence(np.random.default_rng(11), n_frames=8, width=512,
-                        height=384, motion="arc", speed=0.5)
+    seq = make_sequence(np.random.default_rng(11), n_frames=8, width=args.width,
+                        height=args.height, motion="arc", speed=0.5)
     left = [jax.device_put(f) for f in seq.left]
     right = [jax.device_put(f) for f in seq.right]
     state = init_state(cfg, seq.left[0].shape)
@@ -54,25 +59,27 @@ def main():
     timeit(f_null, x, label="null jit dispatch")
 
     # components
-    from zenslam_tpu.ops.lk import build_lk_pyramid
-    from zenslam_tpu.ops.lk_pallas import lk_forward_backward_pallas
+    from zenslam_tpu.ops.lk import build_ragged_pyramid_pair
+    from zenslam_tpu.ops.lk_pallas import lk_ragged_pallas, ragged_level_sizes
     from zenslam_tpu.ops.fast import detect_grid_keypoints
     from zenslam_tpu.ops.orb import orb_descriptors
     from zenslam_tpu.ops.match import match_descriptors
     from zenslam_tpu.estimation.cascade import estimate_pose_cascade
     from zenslam_tpu.estimation.pnp import solve_pnp_ransac
     from zenslam_tpu.estimation.rigid import solve_rigid_ransac
+    from zenslam_tpu.pipeline.state import pyramid_dtype
 
     img = left[4]
-    pyr_fn = jax.jit(lambda im: build_lk_pyramid(im, cfg.pyramid_levels))
-    pyr, sizes = timeit(pyr_fn, img, label="build_lk_pyramid")
-    pyr2, _ = pyr_fn(right[4])
+    pyr_fn = jax.jit(lambda a, b: build_ragged_pyramid_pair(
+        a, b, cfg.pyramid_levels, dtype=pyramid_dtype(cfg)))
+    pyr, pyr2 = timeit(pyr_fn, img, right[4], label="build_ragged_pyramid_pair")
+    tsz = ragged_level_sizes(img.shape[0], img.shape[1], cfg.pyramid_levels + 1)
 
     feats = s0.features
-    lk_fn = jax.jit(lambda a, b, p, v: lk_forward_backward_pallas(
-        a, b, sizes, p, v, radius=cfg.klt_radius, iters=cfg.klt_iters,
-        fb_threshold=cfg.fb_threshold))
-    timeit(lk_fn, pyr, pyr2, feats.xy, feats.valid, label="lk_forward_backward_pallas")
+    lk_fn = jax.jit(lambda p, v: lk_ragged_pallas(
+        pyr, pyr2, p, v, radius=cfg.klt_radius, iters=cfg.klt_iters,
+        fb_threshold=cfg.fb_threshold, block=4, sizes=tsz, unroll=True))
+    timeit(lk_fn, feats.xy, feats.valid, label="lk_ragged_pallas fused fb")
 
     det_fn = jax.jit(lambda im, xy, v: detect_grid_keypoints(
         im, xy, v, threshold=cfg.fast_threshold, cell_size=cfg.cell_size,

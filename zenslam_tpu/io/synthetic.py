@@ -152,6 +152,72 @@ def render_view(world: PlaneWorld, cam: PinholeCamera, R_cw: np.ndarray, t_cw: n
     return img
 
 
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnames=("height", "width"))
+def _render_view_device(world_arrays, fx, fy, cx, cy, R_cw, t_cw,
+                        height: int, width: int):
+    """Device (JAX) version of render_view — identical ray-plane math, run on
+    the accelerator so multi-hundred-frame 1024² benchmark sequences render in
+    seconds instead of minutes. Returns (H, W) float32."""
+    normals, offsets, origins, u_axes, v_axes, textures, tex_scale = world_arrays
+    R_wc = R_cw.T
+    c = -R_wc @ t_cw
+    u, v = jnp.meshgrid(jnp.arange(width, dtype=jnp.float32),
+                        jnp.arange(height, dtype=jnp.float32))
+    rays_cam = jnp.stack([(u - cx) / fx, (v - cy) / fy, jnp.ones_like(u)], axis=-1)
+    rays_w = rays_cam @ R_wc.T
+
+    img = jnp.zeros((height, width), jnp.float32)
+    depth = jnp.full((height, width), jnp.inf, jnp.float32)
+    P = normals.shape[0]
+    TH, TW = textures.shape[1], textures.shape[2]
+    for p in range(P):
+        n = normals[p]
+        d = offsets[p]
+        denom = rays_w @ n
+        denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        tval = -(c @ n + d) / denom
+        X = c[None, None, :] + tval[..., None] * rays_w
+        hit = tval > 0.1
+        rel = X - origins[p]
+        tu = (rel @ u_axes[p]) * tex_scale
+        tv = (rel @ v_axes[p]) * tex_scale
+        tui = jnp.mod(tu, TW - 1)
+        tvi = jnp.mod(tv, TH - 1)
+        x0 = tui.astype(jnp.int32)
+        y0 = tvi.astype(jnp.int32)
+        fxw = tui - x0
+        fyw = tvi - y0
+        tex = textures[p]
+        val = (
+            tex[y0, x0] * (1 - fxw) * (1 - fyw)
+            + tex[y0, jnp.minimum(x0 + 1, TW - 1)] * fxw * (1 - fyw)
+            + tex[jnp.minimum(y0 + 1, TH - 1), x0] * (1 - fxw) * fyw
+            + tex[jnp.minimum(y0 + 1, TH - 1), jnp.minimum(x0 + 1, TW - 1)] * fxw * fyw
+        )
+        closer = hit & (tval < depth)
+        img = jnp.where(closer, val, img)
+        depth = jnp.where(closer, tval, depth)
+    return img
+
+
+def render_view_device(world: PlaneWorld, cam: PinholeCamera, R_cw, t_cw,
+                       height: int, width: int):
+    """Device-rendered view (see _render_view_device)."""
+    wa = (jnp.asarray(world.normals), jnp.asarray(world.offsets),
+          jnp.asarray(world.origins), jnp.asarray(world.u_axes),
+          jnp.asarray(world.v_axes), jnp.asarray(world.textures),
+          jnp.float32(world.tex_scale))
+    return _render_view_device(
+        wa, jnp.float32(cam.fx), jnp.float32(cam.fy), jnp.float32(cam.cx),
+        jnp.float32(cam.cy), jnp.asarray(R_cw, jnp.float32),
+        jnp.asarray(t_cw, jnp.float32), height, width)
+
+
 def default_rig(width: int = 512, height: int = 384) -> StereoRig:
     """EuRoC-like stereo rig (rectified pinhole, 0.11 m baseline)."""
     cam = PinholeCamera(
@@ -265,6 +331,7 @@ def make_sequence(
     with_imu: bool = False,
     imu_samples_per_frame: int = 10,
     gravity_w=(0.0, 9.81, 0.0),
+    device_render: bool = False,
 ) -> SyntheticSequence:
     """Render a stereo sequence with known groundtruth.
 
@@ -272,6 +339,8 @@ def make_sequence(
     with_imu: also synthesize body-frame IMU samples per frame interval
     (body = left camera; ≡ the dataset IMU stream the reference slices per
     frame, `folder_reader.cpp:130-202`).
+    device_render: render on the JAX device (same math; use for long/large
+    benchmark sequences — host rendering of 1024² frames takes seconds each).
     """
     world = make_corridor_world(rng, with_lines=with_lines)
     rig = default_rig(width, height)
@@ -305,13 +374,16 @@ def make_sequence(
         return R_cw, t_cw
 
     timestamps = np.arange(n_frames, dtype=np.float64) * dt
+    render = (
+        (lambda w, c, R, t, h, ww: np.asarray(render_view_device(w, c, R, t, h, ww)))
+        if device_render else render_view)
     lefts, rights, Rs, ts = [], [], [], []
     for i in range(n_frames):
         R_cw, t_cw = pose_fn(timestamps[i])
         R_rcw = R_rl @ R_cw
         t_rcw = R_rl @ t_cw + t_rl
-        lefts.append(render_view(world, rig.left, R_cw, t_cw, height, width))
-        rights.append(render_view(world, rig.right, R_rcw, t_rcw, height, width))
+        lefts.append(render(world, rig.left, R_cw, t_cw, height, width))
+        rights.append(render(world, rig.right, R_rcw, t_rcw, height, width))
         Rs.append(R_cw.astype(np.float32))
         ts.append(t_cw.astype(np.float32))
 

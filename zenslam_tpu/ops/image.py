@@ -60,10 +60,40 @@ def gaussian_blur(img, sigma: float = 1.0, radius: int = 2):
 # 5-tap binomial kernel — the cv::pyrDown kernel (1 4 6 4 1)/16.
 _PYR_K = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
 
+_DOWN_MATS: dict = {}
+
+
+def _down_matrix(n: int) -> np.ndarray:
+    """(ceil(n/2), n) strided-binomial downsampling operator: row i holds the
+    5-tap pyrDown kernel centered at column 2i (edges renormalized, matching
+    reflect-padding mass preservation)."""
+    if n not in _DOWN_MATS:
+        m = (n + 1) // 2
+        D = np.zeros((m, n), np.float32)
+        for i in range(m):
+            c = 2 * i
+            lo = max(c - 2, 0)
+            hi = min(c + 3, n)
+            w = _PYR_K[lo - (c - 2) : 5 - ((c + 3) - hi)]
+            D[i, lo:hi] = w / w.sum()
+        _DOWN_MATS[n] = D
+    return _DOWN_MATS[n]
+
 
 def _pyr_down(img):
-    """Blur with the pyrDown kernel and decimate by 2. img: (..., H, W)."""
-    return _sep_filter(img, _PYR_K)[..., ::2, ::2]
+    """Blur with the pyrDown kernel and decimate by 2. img: (..., H, W).
+
+    Fused blur+decimate as TWO MATMULS on the MXU: down = D_h @ img @ D_wᵀ
+    with D the (n/2, n) strided 5-tap operator. The shift-and-add + ::2
+    formulation lowered to layout-shuffling fusions costing ~4.5 ms/frame at
+    1024² (stride-2 on the lane dim is a cross-lane shuffle); the matmul
+    form is ~0.25 GMAC and keeps everything in native tiles.
+    """
+    H, W = img.shape[-2], img.shape[-1]
+    Dh = jnp.asarray(_down_matrix(H))
+    Dw = jnp.asarray(_down_matrix(W))
+    x = jnp.einsum("hk,...kw->...hw", Dh, img)
+    return jnp.einsum("...hw,mw->...hm", x, Dw)
 
 
 @functools.partial(jax.jit, static_argnames=("levels",))

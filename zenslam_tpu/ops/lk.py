@@ -87,6 +87,52 @@ def build_lk_pyramid_pair(img_l, img_r, levels: int):
     return stack[0], stack[1], sizes
 
 
+def build_ragged_pyramid_pair(img_l, img_r, levels: int, dtype=jnp.float32):
+    """Build BOTH stereo pyramids as RAGGED per-level arrays — the Pallas LK
+    kernel's native format (ops/lk_pallas.py): each level at its true size,
+    padded only up to VMEM tile alignment (sublane 8 / lane 128, min one
+    (32, 256) tile). At 1024x1024 this is 1/3 the memory of the full-size
+    stacked format and skips its zero-fill writes.
+
+    Returns (tuple_l, tuple_r) of levels+1 arrays in ``dtype`` (bf16 halves
+    VMEM residency and feeds the kernel's bf16 MXU path)."""
+    from zenslam_tpu.ops.image import _pyr_down
+    from zenslam_tpu.ops.lk_pallas import padded_level_shape
+
+    cur = jnp.stack([img_l, img_r])
+    out_l, out_r = [], []
+    for l in range(levels + 1):
+        if l:
+            cur = _pyr_down(cur)
+        h, w = cur.shape[-2:]
+        Hp, Wp = padded_level_shape(h, w)
+        p = jnp.pad(cur, ((0, 0), (0, Hp - h), (0, Wp - w))).astype(dtype)
+        out_l.append(p[0])
+        out_r.append(p[1])
+    return tuple(out_l), tuple(out_r)
+
+
+def empty_ragged_pyramid(H: int, W: int, levels: int, dtype=jnp.float32):
+    """Zero ragged pyramid with the shapes build_ragged_pyramid_pair makes
+    for an (H, W) image — the init_state placeholder for prev_pyr_l."""
+    from zenslam_tpu.ops.lk_pallas import padded_level_shape, ragged_level_sizes
+
+    return tuple(
+        jnp.zeros(padded_level_shape(h, w), dtype)
+        for h, w in ragged_level_sizes(H, W, levels + 1))
+
+
+def ragged_to_stacked(levels_tuple, true_sizes):
+    """Adapter: ragged padded levels -> ((L, H, W) f32 stack, sizes array),
+    the XLA-fallback LK format (stack_pyramid layout)."""
+    H, W = true_sizes[0]
+    stack = jnp.stack([
+        jnp.pad(p.astype(jnp.float32)[:h, :w], ((0, H - h), (0, W - w)))
+        for p, (h, w) in zip(levels_tuple, true_sizes)])
+    sizes = jnp.asarray([[h, w] for h, w in true_sizes], jnp.float32)
+    return stack, sizes
+
+
 def _sample_clamped(img, xy, w, h):
     """Bilinear sample with edge replication w.r.t. DYNAMIC level bounds
     (w, h): coordinates clamp into [0, w-1]x[0, h-1]. img is the (H, W)

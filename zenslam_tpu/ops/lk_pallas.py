@@ -1,8 +1,9 @@
 """Pallas TPU kernel for batched pyramidal Lucas-Kanade.
 
 This is the direct TPU analogue of the reference's Metal compute shader
-(`zenslam_metal/source/pyr_lk_metal.mm:16-115`): iterative 2x2 Newton solve
-per point, coarse-to-fine, margin/singularity/epsilon exits.
+(`zenslam_metal/source/pyr_lk_metal.mm:16-115`) / cv::calcOpticalFlowPyrLK:
+iterative 2x2 Newton solve per point, coarse-to-fine, margin/singularity
+exits, forward-backward consistency (≡ `keypoint_tracker.cpp:379-423`).
 
 Why a kernel at all: the pure-JAX LK (ops/lk.py) lowers window sampling to
 XLA gathers — 36M scattered loads per fwd/bwd pair → ~1.1 s/call on a v5e.
@@ -17,16 +18,28 @@ are fused into two one-hot matmuls on the MXU:
 where R/C are separable bilinear selector matrices built from iota
 comparisons against the window's integer offset (dy/dx) and fractional part.
 Gradients are central differences of the sampled grid (≡ Metal kernel).
+B points are solved per grid step with the tiles stacked vertically and the
+selector pairs merged into BLOCK-DIAGONAL matrices, so each sample step is
+two MXU matmuls instead of 2B tiny ones.
 
-Two throughput structures on top of that (the kernel is SCALAR-overhead
-bound — runtime is flat in the window radius):
-- B=4 points per grid step, with the four tiles stacked vertically and the
-  four selector pairs merged into BLOCK-DIAGONAL matrices, so each sample
-  step is two MXU matmuls (4G, 128)@(128, 256)@(256, 4G) instead of eight
-  tiny ones, and the loop/addressing scalar work is amortized 4x;
-- the Newton iteration is a while_loop with convergence early-exit (epsilon
-  termination ≡ cv::calcOpticalFlowPyrLK / the Metal kernel) — typical
-  points converge in 3-4 steps, not the iteration cap.
+Measured design choices (v5e, 512 pts, 1024x1024, 4 levels, r=10):
+
+- RAGGED pyramid — each level its own VMEM ref at (~) true size instead of
+  an (L, H, W) stack padded to full resolution. The stacked pair needed
+  32 MB of VMEM (2x the 16 MB/core budget — compile-time OOM); the ragged
+  pair needs ~10.6 MB f32, ~5.3 MB bf16. Level sizes are STATIC.
+- FUSED forward+backward in one grid step (one dispatch, setup amortized
+  across both directions): 7.2 → 6.7 ms vs two separate calls.
+- UNROLLED Newton iterations instead of a convergence while_loop: the
+  while_loop's scalar exit test serializes the pipeline; cost was flat-ish
+  (~7 ms) regardless of `iters`, while unrolled cost is linear at ~1 ms/iter
+  — unroll 4 ≈ 5.4 ms, max deviation from the converged result 5e-4 px.
+- bf16 pyramid storage + bf16 MXU passes (f32 accumulate): 5.4 → 4.4 ms.
+  Selector rows/cols have <=2 nonzeros (bilinear taps) so bf16 inputs lose
+  nothing beyond the uint8 sensor quantization already in the pixels
+  (measured 0.03 px vs the f32 kernel).
+- Block size B=4: B=8/16 are SLOWER (selector fields are (BG, B*32) — the
+  VPU work grows quadratically in B and overtakes the amortization win).
 """
 
 from __future__ import annotations
@@ -38,43 +51,62 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TH = 32    # aligned tile rows  (sublane multiple of 8, fits G<=24 + align slack)
-_TW = 256   # aligned tile cols  (lane multiple of 128, fits G + 128 align slack)
-_B = 4      # points per grid step
+_TH = 32    # aligned tile rows  (sublane multiple of 8)
+_TW = 256   # aligned tile cols  (lane multiple of 128)
 
 
-def _lk_block_kernel(
-    sizes_ref,   # (2, L) SMEM float32 — true (h, w) per level, TRANSPOSED
-    pts_ref,     # (2, N) SMEM float32 (transposed: SMEM pads per ROW)
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def ragged_level_sizes(H: int, W: int, levels: int):
+    """True (h, w) per pyramid level for an (H, W) image (decimate-by-2
+    chain, level 0 = input). Static python ints."""
+    sizes = [(H, W)]
+    for _ in range(levels - 1):
+        h, w = sizes[-1]
+        sizes.append(((h + 1) // 2, (w + 1) // 2))
+    return tuple(sizes)
+
+
+def padded_level_shape(h: int, w: int):
+    """VMEM-friendly padded shape for a level: >= one aligned tile."""
+    return max(_TH, _round_up(h, 8)), max(_TW, _round_up(w, 128))
+
+
+def _lk_fb_kernel(
+    pts_ref,     # (2, N) SMEM float32 (transposed; SMEM pads per ROW)
     init_ref,    # (2, N) SMEM float32
     valid_ref,   # (1, N) SMEM int32
-    prev_ref,    # (L, H, W) VMEM float32
-    next_ref,    # (L, H, W) VMEM float32
-    out_xy_ref,  # (2, N) SMEM float32
-    out_ok_ref,  # (1, N) SMEM int32
-    out_err_ref, # (1, N) SMEM float32
-    *,
+    *refs,       # L prev-level VMEM refs, L next-level refs, then 3 outputs
     levels: int,
+    sizes: tuple,        # static ((h, w), ...) true level sizes
     radius: int,
     iters: int,
     eps: float,
     min_eig_threshold: float,
-    H: int,
-    W: int,
+    fb_threshold: float,
+    B: int,
+    do_backward: bool,
+    unroll: bool,
 ):
+    prev_refs = refs[:levels]
+    next_refs = refs[levels : 2 * levels]
+    out_xy_ref, out_ok_ref, out_err_ref = refs[2 * levels :]
+
     G = 2 * radius + 3           # sampled grid (window + gradient margin)
-    B = _B
     BG = B * G
     n_win = float((2 * radius + 1) ** 2)
     base = pl.program_id(0) * B
 
     x0 = [pts_ref[0, base + b] for b in range(B)]
     y0 = [pts_ref[1, base + b] for b in range(B)]
-    fx = [init_ref[0, base + b] - x0[b] for b in range(B)]
-    fy = [init_ref[1, base + b] - y0[b] for b in range(B)]
-    ok = [valid_ref[0, base + b] != 0 for b in range(B)]
+    fx0 = [init_ref[0, base + b] - x0[b] for b in range(B)]
+    fy0 = [init_ref[1, base + b] - y0[b] for b in range(B)]
+    valid = [valid_ref[0, base + b] != 0 for b in range(B)]
 
-    # block-diagonal selector index fields (shared across sample steps)
+    # block-diagonal selector index fields (shared across sample steps and
+    # both track directions)
     r_i = jax.lax.broadcasted_iota(jnp.int32, (BG, B * _TH), 0)
     k_i = jax.lax.broadcasted_iota(jnp.int32, (BG, B * _TH), 1)
     row_blk = [(r_i // G == b) & (k_i // _TH == b) for b in range(B)]
@@ -84,13 +116,20 @@ def _lk_block_kernel(
     col_blk = [c_i // G == b for b in range(B)]
     d_col = k2_i - (c_i % G)
 
-    def sample_block(ref, l, pxs, pys):
-        """Bilinear (G, G) grids for B points via stacked aligned tiles +
-        block-diagonal selector matmuls. Returns ([S_b], [in_ok_b])."""
-        h = sizes_ref[0, l]
-        w = sizes_ref[1, l]
+    def sample_block(refs_lvl, l, pxs, pys):
+        """Bilinear (G, G) grids for B points at level l. Static bounds.
+
+        Matmuls run in the pyramid's dtype (bf16 pyramids → bf16 MXU passes
+        with f32 accumulation; selector one-hots and subpixel fractions are
+        exactly/adequately representable in bf16 — fraction quantization is
+        2^-8 ≈ 0.004 px, below the sensor's uint8 quantization)."""
+        h, w = sizes[l]
+        Hp, Wp = refs_lvl[l].shape
+        dt = refs_lvl[l].dtype
         tiles = []
         in_oks = []
+        # selector accumulation in f32 (Mosaic has no scalar bf16 arith);
+        # cast once before the MXU pass
         Rv = jnp.zeros((BG, B * _TH), jnp.float32)
         Cv = jnp.zeros((_TW, BG), jnp.float32)
         for b in range(B):
@@ -101,10 +140,10 @@ def _lk_block_kernel(
                           & (ix + radius + 3 <= w) & (iy + radius + 3 <= h))
             cx = (ix - radius - 1).astype(jnp.int32)   # window top-left
             cy = (iy - radius - 1).astype(jnp.int32)
-            oy = jnp.clip((cy // 8) * 8, 0, H - _TH)
-            ox = jnp.clip((cx // 128) * 128, 0, W - _TW)
-            tiles.append(ref[l, pl.ds(pl.multiple_of(oy, 8), _TH),
-                             pl.ds(pl.multiple_of(ox, 128), _TW)])
+            oy = jnp.clip((cy // 8) * 8, 0, Hp - _TH)
+            ox = jnp.clip((cx // 128) * 128, 0, Wp - _TW)
+            tiles.append(refs_lvl[l][pl.ds(pl.multiple_of(oy, 8), _TH),
+                                     pl.ds(pl.multiple_of(ox, 128), _TW)])
             dy = cy - oy
             dx = cx - ox
             fyf = py - iy
@@ -118,95 +157,140 @@ def _lk_block_kernel(
                 (d_col == dx).astype(jnp.float32) * (1.0 - fxf)
                 + (d_col == dx + 1).astype(jnp.float32) * fxf, 0.0)
         T = jnp.concatenate(tiles, axis=0)  # (B*_TH, _TW)
-        M = jnp.dot(Rv, T, preferred_element_type=jnp.float32)
-        Sfull = jnp.dot(M, Cv, preferred_element_type=jnp.float32)
+        if dt == jnp.bfloat16:
+            # bf16 MXU inputs with f32 accumulation (v5e native bf16 passes;
+            # f32 matmul is multi-pass emulation). Selector rows/cols have
+            # <=2 nonzeros, so bf16 inputs lose nothing beyond the uint8
+            # sensor quantization already in the pixels.
+            # explicit DEFAULT precision: the package pins
+            # jax_default_matmul_precision=float32 for geometry math, which
+            # would force (unsupported) fp32-precision contracts on bf16.
+            M = jnp.dot(Rv.astype(dt), T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+            Sfull = jnp.dot(M.astype(dt), Cv.astype(dt),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+        else:
+            M = jnp.dot(Rv, T, preferred_element_type=jnp.float32)
+            Sfull = jnp.dot(M, Cv, preferred_element_type=jnp.float32)
         S = [Sfull[b * G : (b + 1) * G, b * G : (b + 1) * G] for b in range(B)]
         return S, in_oks
 
-    err = [jnp.float32(0.0)] * B
-    for l in range(levels - 1, -1, -1):
-        scale = jnp.float32(1.0 / (1 << l))
-        S, lvl_ok = sample_block(prev_ref, l,
-                                 [x * scale for x in x0], [y * scale for y in y0])
-        I, gx, gy = [], [], []
-        iG00, iG01, iG11, can = [], [], [], []
-        for b in range(B):
-            Sb = S[b]
-            I.append(Sb[1 : G - 1, 1 : G - 1])
-            gxb = (Sb[1 : G - 1, 2:] - Sb[1 : G - 1, : G - 2]) * 0.5
-            gyb = (Sb[2:, 1 : G - 1] - Sb[: G - 2, 1 : G - 1]) * 0.5
-            gx.append(gxb)
-            gy.append(gyb)
-            gxx = jnp.sum(gxb * gxb)
-            gxy = jnp.sum(gxb * gyb)
-            gyy = jnp.sum(gyb * gyb)
-            det = gxx * gyy - gxy * gxy
-            tr = gxx + gyy
-            min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
-            eig_ok = (min_eig / n_win) > min_eig_threshold
-            det_s = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-            iG00.append(gyy / det_s)
-            iG01.append(-gxy / det_s)
-            iG11.append(gxx / det_s)
-            can.append(ok[b] & lvl_ok[b] & eig_ok)
-
-        def newton_cond(st):
-            _, _, conv, it = st
-            active = jnp.bool_(False)
+    def track(src_refs, dst_refs, sx, sy, tfx, tfy, ok_in):
+        """One full coarse-to-fine LK track of B points from src to dst.
+        (sx, sy) start positions, (tfx, tfy) initial flow. Returns
+        (fx, fy, ok, err) lists."""
+        fx, fy = list(tfx), list(tfy)
+        ok = list(ok_in)
+        err = [jnp.float32(0.0)] * B
+        for l in range(levels - 1, -1, -1):
+            scale = jnp.float32(1.0 / (1 << l))
+            S, lvl_ok = sample_block(src_refs, l,
+                                     [x * scale for x in sx],
+                                     [y * scale for y in sy])
+            I, gx, gy = [], [], []
+            iG00, iG01, iG11, can = [], [], [], []
             for b in range(B):
-                active = active | (can[b] & ~conv[b])
-            return active & (it < iters)
+                Sb = S[b]
+                I.append(Sb[1 : G - 1, 1 : G - 1])
+                gxb = (Sb[1 : G - 1, 2:] - Sb[1 : G - 1, : G - 2]) * 0.5
+                gyb = (Sb[2:, 1 : G - 1] - Sb[: G - 2, 1 : G - 1]) * 0.5
+                gx.append(gxb)
+                gy.append(gyb)
+                gxx = jnp.sum(gxb * gxb)
+                gxy = jnp.sum(gxb * gyb)
+                gyy = jnp.sum(gyb * gyb)
+                det = gxx * gyy - gxy * gxy
+                tr = gxx + gyy
+                min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+                eig_ok = (min_eig / n_win) > min_eig_threshold
+                det_s = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+                iG00.append(gyy / det_s)
+                iG01.append(-gxy / det_s)
+                iG11.append(gxx / det_s)
+                can.append(ok[b] & lvl_ok[b] & eig_ok)
 
-        def newton(st):
-            fxs, fys, conv, it = st
-            J, t_ok = sample_block(
-                next_ref, l,
-                [(x0[b] + fxs[b]) * scale for b in range(B)],
-                [(y0[b] + fys[b]) * scale for b in range(B)])
-            nfx, nfy, nconv = [], [], []
-            for b in range(B):
-                e = I[b] - J[b][1 : G - 1, 1 : G - 1]
-                bx = jnp.sum(e * gx[b])
-                by = jnp.sum(e * gy[b])
-                dx_ = iG00[b] * bx + iG01[b] * by
-                dy_ = iG01[b] * bx + iG11[b] * by
-                act = can[b] & (~conv[b]) & t_ok[b]
-                nfx.append(fxs[b] + jnp.where(act, dx_ / scale, 0.0))
-                nfy.append(fys[b] + jnp.where(act, dy_ / scale, 0.0))
-                nconv.append(conv[b] | (dx_ * dx_ + dy_ * dy_ < eps * eps)
-                             | (~t_ok[b]))
-            return tuple(nfx), tuple(nfy), tuple(nconv), it + 1
+            def newton_cond(st):
+                _, _, conv, it = st
+                active = jnp.bool_(False)
+                for b in range(B):
+                    active = active | (can[b] & ~conv[b])
+                return active & (it < iters)
 
-        fxs, fys, _, _ = jax.lax.while_loop(
-            newton_cond, newton,
-            (tuple(fx), tuple(fy), (jnp.bool_(False),) * B, jnp.int32(0)),
-        )
-        fx, fy = list(fxs), list(fys)
-        # a coarse level that can't track contributes nothing; only the
-        # FINEST level decides status (≡ OpenCV/Metal margin semantics —
-        # detection border >= r+3 keeps level-0 windows in bounds)
-        if l == 0:
-            Jf, t_ok0 = sample_block(
-                next_ref, 0,
-                [x0[b] + fx[b] for b in range(B)],
-                [y0[b] + fy[b] for b in range(B)])
-            for b in range(B):
-                err[b] = jnp.sum(jnp.abs(I[b] - Jf[b][1 : G - 1, 1 : G - 1])) / n_win
-                ok[b] = can[b] & t_ok0[b]
+            def newton(st):
+                fxs, fys, conv, it = st
+                J, t_ok = sample_block(
+                    dst_refs, l,
+                    [(sx[b] + fxs[b]) * scale for b in range(B)],
+                    [(sy[b] + fys[b]) * scale for b in range(B)])
+                nfx, nfy, nconv = [], [], []
+                for b in range(B):
+                    e = I[b] - J[b][1 : G - 1, 1 : G - 1]
+                    bx = jnp.sum(e * gx[b])
+                    by = jnp.sum(e * gy[b])
+                    dx_ = iG00[b] * bx + iG01[b] * by
+                    dy_ = iG01[b] * bx + iG11[b] * by
+                    act = can[b] & (~conv[b]) & t_ok[b]
+                    nfx.append(fxs[b] + jnp.where(act, dx_ / scale, 0.0))
+                    nfy.append(fys[b] + jnp.where(act, dy_ / scale, 0.0))
+                    nconv.append(conv[b] | (dx_ * dx_ + dy_ * dy_ < eps * eps)
+                                 | (~t_ok[b]))
+                return tuple(nfx), tuple(nfy), tuple(nconv), it + 1
+
+            if unroll:
+                st = (tuple(fx), tuple(fy), (jnp.bool_(False),) * B,
+                      jnp.int32(0))
+                for _ in range(iters):
+                    st = newton(st)
+                fxs, fys = st[0], st[1]
+            else:
+                fxs, fys, _, _ = jax.lax.while_loop(
+                    newton_cond, newton,
+                    (tuple(fx), tuple(fy), (jnp.bool_(False),) * B,
+                     jnp.int32(0)),
+                )
+            fx, fy = list(fxs), list(fys)
+            # only the FINEST level decides status (≡ OpenCV/Metal margin
+            # semantics); a coarse level that can't track contributes nothing
+            if l == 0:
+                Jf, t_ok0 = sample_block(
+                    dst_refs, 0,
+                    [sx[b] + fx[b] for b in range(B)],
+                    [sy[b] + fy[b] for b in range(B)])
+                for b in range(B):
+                    err[b] = jnp.sum(
+                        jnp.abs(I[b] - Jf[b][1 : G - 1, 1 : G - 1])) / n_win
+                    ok[b] = can[b] & t_ok0[b]
+        return fx, fy, ok, err
+
+    fx, fy, okf, err = track(prev_refs, next_refs, x0, y0, fx0, fy0, valid)
+
+    if do_backward:
+        sx2 = [x0[b] + fx[b] for b in range(B)]
+        sy2 = [y0[b] + fy[b] for b in range(B)]
+        bx, by, okb, _ = track(next_refs, prev_refs, sx2, sy2,
+                               [-f for f in fx], [-f for f in fy], okf)
+        thr2 = fb_threshold * fb_threshold
+        ok_out = [okf[b] & okb[b]
+                  & ((fx[b] + bx[b]) ** 2 + (fy[b] + by[b]) ** 2 <= thr2)
+                  for b in range(B)]
+    else:
+        ok_out = okf
 
     for b in range(B):
         is_valid = valid_ref[0, base + b] != 0
         out_xy_ref[0, base + b] = jnp.where(is_valid, x0[b] + fx[b], x0[b])
         out_xy_ref[1, base + b] = jnp.where(is_valid, y0[b] + fy[b], y0[b])
-        out_ok_ref[0, base + b] = ok[b].astype(jnp.int32)
+        out_ok_ref[0, base + b] = ok_out[b].astype(jnp.int32)
         out_err_ref[0, base + b] = err[b]
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "iters", "interpret"))
-def pyramidal_lk_pallas(
-    prev_stack,   # (L, H, W) float32 — from ops.lk.build_lk_pyramid
-    next_stack,   # (L, H, W)
-    sizes,        # (L, 2) float32
+@functools.partial(jax.jit, static_argnames=(
+    "radius", "iters", "fb_threshold", "block", "do_backward", "sizes",
+    "unroll", "interpret"))
+def lk_ragged_pallas(
+    prev_levels,  # tuple of (Hp_l, Wp_l) float32, padded ragged pyramid
+    next_levels,
     pts,          # (N, 2) float32
     valid,        # (N,) bool
     init_pts=None,
@@ -214,70 +298,47 @@ def pyramidal_lk_pallas(
     iters: int = 10,
     eps: float = 0.01,
     min_eig_threshold: float = 1e-7,
+    fb_threshold: float = 1.0,
+    block: int = 8,
+    do_backward: bool = True,
+    sizes=None,   # static ((h, w), ...) true level sizes; None = unpadded
+    unroll: bool = False,
     interpret: bool = False,
 ):
-    """Pallas-accelerated pyramidal LK. Same contract as ops.lk.pyramidal_lk.
-    Requires W >= 256 and H >= 32 (aligned-tile machinery)."""
-    L, H, W = prev_stack.shape
-    if W < _TW or H < _TH:
-        raise ValueError(f"image too small for the Pallas LK kernel: {(H, W)}")
+    """Fused forward(+backward) pyramidal LK on a ragged pyramid pair.
+
+    Returns (tracked (N,2), ok (N,), err (N,)). With do_backward, ok is the
+    fwd-bwd-consistency status (≡ `keypoint_tracker.cpp:379-423`)."""
+    levels = len(prev_levels)
+    if sizes is None:
+        sizes = tuple((int(p.shape[0]), int(p.shape[1])) for p in prev_levels)
     n = pts.shape[0]
     if init_pts is None:
         init_pts = pts
-    pad = (-n) % _B
+    pad = (-n) % block
     if pad:
         pts = jnp.pad(pts, ((0, pad), (0, 0)))
         init_pts = jnp.pad(init_pts, ((0, pad), (0, 0)))
         valid = jnp.pad(valid, (0, pad))
     kernel = functools.partial(
-        _lk_block_kernel,
-        levels=L, radius=radius, iters=iters, eps=eps,
-        min_eig_threshold=min_eig_threshold, H=H, W=W,
+        _lk_fb_kernel,
+        levels=levels, sizes=sizes, radius=radius, iters=iters, eps=eps,
+        min_eig_threshold=min_eig_threshold, fb_threshold=fb_threshold,
+        B=block, do_backward=do_backward, unroll=unroll,
     )
     np_ = n + pad
     out_xy, out_ok, out_err = pl.pallas_call(
         kernel,
-        grid=(np_ // _B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        grid=(np_ // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * levels),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
         out_shape=[
             jax.ShapeDtypeStruct((2, np_), jnp.float32),
             jax.ShapeDtypeStruct((1, np_), jnp.int32),
             jax.ShapeDtypeStruct((1, np_), jnp.float32),
         ],
         interpret=interpret,
-    )(sizes.T, pts.T, init_pts.T, valid.astype(jnp.int32)[None, :],
-      prev_stack, next_stack)
-    return (out_xy.T[:n], (out_ok[0, :n] != 0) & valid[:n], out_err[0, :n])
-
-
-@functools.partial(jax.jit, static_argnames=("radius", "iters", "interpret"))
-def lk_forward_backward_pallas(
-    prev_stack, next_stack, sizes, pts, valid,
-    init_pts=None, radius: int = 10, iters: int = 10,
-    fb_threshold: float = 1.0, interpret: bool = False,
-):
-    """Forward-backward consistency check on the Pallas kernel
-    (≡ `keypoint_tracker.cpp:379-423`)."""
-    fwd, ok_f, err = pyramidal_lk_pallas(
-        prev_stack, next_stack, sizes, pts, valid, init_pts=init_pts,
-        radius=radius, iters=iters, interpret=interpret,
-    )
-    bwd, ok_b, _ = pyramidal_lk_pallas(
-        next_stack, prev_stack, sizes, fwd, ok_f, init_pts=pts,
-        radius=radius, iters=iters, interpret=interpret,
-    )
-    fb_err = jnp.linalg.norm(bwd - pts, axis=-1)
-    ok = ok_f & ok_b & (fb_err <= fb_threshold)
-    return fwd, ok, err
+    )(pts.T, init_pts.T, valid.astype(jnp.int32)[None, :],
+      *prev_levels, *next_levels)
+    return out_xy.T[:n], (out_ok[0, :n] != 0) & valid[:n], out_err[0, :n]

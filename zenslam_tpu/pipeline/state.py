@@ -37,9 +37,13 @@ class SlamConfig(NamedTuple):
     cell_size: int = 16
     fast_threshold: float = 10.0 / 255.0
     detect_border: int = 16
-    # tracking   (`tracking_options.h`: klt window, fb check)
+    # tracking   (`tracking_options.h`: klt window, fb check). klt_iters is
+    # the UNROLLED Newton iteration count on the Pallas path (measured: cost
+    # is ~1 ms/iter; 5 iterations land within 1e-3 px of the converged
+    # while-loop result — see ops/lk_pallas.py docstring) and the fixed
+    # masked-convergence count on the XLA fallback.
     klt_radius: int = 10
-    klt_iters: int = 10
+    klt_iters: int = 5
     fb_threshold: float = 1.0
     epipolar_threshold: float = 2.0
     landmark_match_distance: int = 64  # hamming
@@ -196,8 +200,9 @@ class SlamState(NamedTuple):
     frame_idx: jnp.ndarray        # () int32
     next_track_id: jnp.ndarray    # () int32
     next_line_id: jnp.ndarray     # () int32
-    # previous-frame left pyramid, stacked (L+1, H, W) (see ops.lk.stack_pyramid)
-    prev_pyr_l: jnp.ndarray
+    # previous-frame left pyramid: RAGGED tuple of per-level arrays (see
+    # ops.lk.build_ragged_pyramid_pair; bf16 on the Pallas path)
+    prev_pyr_l: tuple
     rng_key: jnp.ndarray
     vio: VioState
 
@@ -273,7 +278,21 @@ def empty_landmarks(cfg: SlamConfig) -> LandmarkMap:
     )
 
 
+def resolve_use_pallas(cfg: SlamConfig) -> bool:
+    """Whether the Pallas LK kernel is active (None = auto by backend).
+    Also decides the pyramid storage dtype (bf16 on the kernel path)."""
+    if cfg.use_pallas_lk is None:
+        return jax.default_backend() not in ("cpu",)
+    return cfg.use_pallas_lk
+
+
+def pyramid_dtype(cfg: SlamConfig):
+    return jnp.bfloat16 if resolve_use_pallas(cfg) else jnp.float32
+
+
 def init_state(cfg: SlamConfig, image_shape, seed: int = 0) -> SlamState:
+    from zenslam_tpu.ops.lk import empty_ragged_pyramid
+
     H, W = image_shape
     return SlamState(
         features=empty_features(cfg),
@@ -293,7 +312,8 @@ def init_state(cfg: SlamConfig, image_shape, seed: int = 0) -> SlamState:
         frame_idx=jnp.asarray(0, jnp.int32),
         next_track_id=jnp.asarray(0, jnp.int32),
         next_line_id=jnp.asarray(0, jnp.int32),
-        prev_pyr_l=jnp.zeros((cfg.pyramid_levels + 1, H, W), jnp.float32),
+        prev_pyr_l=empty_ragged_pyramid(H, W, cfg.pyramid_levels,
+                                        pyramid_dtype(cfg)),
         rng_key=jax.random.PRNGKey(seed),
         vio=init_vio(),
     )

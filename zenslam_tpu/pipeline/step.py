@@ -38,8 +38,12 @@ from zenslam_tpu.ops.fast import detect_grid_keypoints
 from zenslam_tpu.ops.orb import orb_descriptors
 from zenslam_tpu.ops.lines import keyline_descriptors
 from zenslam_tpu.ops.match import match_descriptors, radius_gate
-from zenslam_tpu.ops.lk import lk_forward_backward, build_lk_pyramid, build_lk_pyramid_pair
-from zenslam_tpu.ops.lk_pallas import lk_forward_backward_pallas
+from zenslam_tpu.ops.lk import (
+    lk_forward_backward,
+    build_ragged_pyramid_pair,
+    ragged_to_stacked,
+)
+from zenslam_tpu.ops.lk_pallas import lk_ragged_pallas, ragged_level_sizes
 from zenslam_tpu.estimation.cascade import estimate_pose_cascade
 from zenslam_tpu.frontend.tables import insert_into_free_slots, allocate_landmark_slots
 from zenslam_tpu.imu.preintegration import preintegrate
@@ -51,6 +55,8 @@ from zenslam_tpu.pipeline.state import (
     FeatureTable,
     FrameTelemetry,
     VioState,
+    resolve_use_pallas,
+    pyramid_dtype,
 )
 
 
@@ -62,19 +68,21 @@ def _predict_pose(state: SlamState):
     return R_pred, t_pred
 
 
-def _lk_fb(cfg: SlamConfig, prev_stack, next_stack, sizes, pts, valid, init_pts=None):
-    """fwd-bwd KLT on the implementation matching the platform: the Pallas
-    kernel on TPU, the scanned-XLA fallback elsewhere (gathers are fine on
-    CPU; Mosaic kernel needs real hardware or interpret mode)."""
-    use_pallas = cfg.use_pallas_lk
-    if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
-    if use_pallas:
-        return lk_forward_backward_pallas(
-            prev_stack, next_stack, sizes, pts, valid, init_pts=init_pts,
+def _lk_fb(cfg: SlamConfig, prev_pyr, next_pyr, tsizes, pts, valid, init_pts=None):
+    """fwd-bwd KLT on the implementation matching the platform: the fused
+    Pallas kernel on TPU, the scanned-XLA fallback elsewhere (gathers are
+    fine on CPU; Mosaic kernel needs real hardware or interpret mode).
+
+    prev_pyr/next_pyr: ragged level tuples; tsizes: static true level sizes.
+    """
+    if resolve_use_pallas(cfg):
+        return lk_ragged_pallas(
+            prev_pyr, next_pyr, pts, valid, init_pts=init_pts,
             radius=cfg.klt_radius, iters=cfg.klt_iters,
-            fb_threshold=cfg.fb_threshold,
+            fb_threshold=cfg.fb_threshold, block=4, sizes=tsizes, unroll=True,
         )
+    prev_stack, sizes = ragged_to_stacked(prev_pyr, tsizes)
+    next_stack, _ = ragged_to_stacked(next_pyr, tsizes)
     return lk_forward_backward(
         (prev_stack, sizes), (next_stack, sizes), pts, valid,
         init_pts=init_pts, radius=cfg.klt_radius, iters=cfg.klt_iters,
@@ -82,7 +90,7 @@ def _lk_fb(cfg: SlamConfig, prev_stack, next_stack, sizes, pts, valid, init_pts=
     )
 
 
-def _temporal_track(cfg: SlamConfig, rig: StereoRig, state: SlamState, pyr_l, sizes,
+def _temporal_track(cfg: SlamConfig, rig: StereoRig, state: SlamState, pyr_l, tsizes,
                     R_pred, t_pred):
     """KLT prev-L → cur-L with landmark-projected initial flow + fb check
     (≡ `keypoint_tracker.cpp:343-434`)."""
@@ -91,11 +99,11 @@ def _temporal_track(cfg: SlamConfig, rig: StereoRig, state: SlamState, pyr_l, si
     lm_xyz = state.lmap.xyz[jnp.clip(feats.lm_idx, 0, None)]
     xc = se3_apply(R_pred, t_pred, lm_xyz)
     proj = project(rig.left, xc)
-    H, W = pyr_l.shape[-2:]
+    H, W = tsizes[0]
     proj_ok = has_lm & (xc[..., 2] > 0.1) & (proj[:, 0] >= 0) & (proj[:, 0] < W) & (proj[:, 1] >= 0) & (proj[:, 1] < H)
     init_pts = jnp.where(proj_ok[:, None], proj, feats.xy)
     tracked, ok, err = _lk_fb(
-        cfg, state.prev_pyr_l, pyr_l, sizes, feats.xy, feats.valid, init_pts=init_pts,
+        cfg, state.prev_pyr_l, pyr_l, tsizes, feats.xy, feats.valid, init_pts=init_pts,
     )
     feats = feats._replace(
         xy=jnp.where(ok[:, None], tracked, feats.xy),
@@ -130,12 +138,12 @@ def _detect_topup(cfg: SlamConfig, img_l, feats: FeatureTable, next_track_id):
     return feats, n_placed, next_track_id + n_placed
 
 
-def _stereo_and_triangulate(cfg: SlamConfig, rig: StereoRig, pyr_l, pyr_r, sizes,
+def _stereo_and_triangulate(cfg: SlamConfig, rig: StereoRig, pyr_l, pyr_r, tsizes,
                             feats: FeatureTable, F_rig):
     """L→R KLT stereo transfer + epipolar gate + triangulation in the left
     camera frame (≡ stereo transfer `keypoint_tracker.cpp:41-105` +
     `triangulator.cpp:39-132` gates)."""
-    uv_r, st_ok, _ = _lk_fb(cfg, pyr_l, pyr_r, sizes, feats.xy, feats.valid)
+    uv_r, st_ok, _ = _lk_fb(cfg, pyr_l, pyr_r, tsizes, feats.xy, feats.valid)
     res = epipolar_residual(F_rig, feats.xy, uv_r)
     st_ok = st_ok & (res < cfg.epipolar_threshold)
 
@@ -284,7 +292,10 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
     `slam_thread.cpp:126-132, 221-235`). The VIO branch is compiled only
     when provided.
     """
-    pyr_l, pyr_r, sizes = build_lk_pyramid_pair(img_l, img_r, cfg.pyramid_levels)
+    pyr_l, pyr_r = build_ragged_pyramid_pair(
+        img_l, img_r, cfg.pyramid_levels, dtype=pyramid_dtype(cfg))
+    tsizes = ragged_level_sizes(
+        img_l.shape[0], img_l.shape[1], cfg.pyramid_levels + 1)
     key, k_est = jax.random.split(state.rng_key)
 
     from zenslam_tpu.geometry.camera import fundamental_from_rig
@@ -301,7 +312,7 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
         R_pred, t_pred = _vio_predict(rig, state, integral, R_pred, t_pred)
 
     # ---- TRACK (temporal) ---------------------------------------------------
-    feats, n_tracked = _temporal_track(cfg, rig, state, pyr_l, sizes, R_pred, t_pred)
+    feats, n_tracked = _temporal_track(cfg, rig, state, pyr_l, tsizes, R_pred, t_pred)
     n_prev_valid = jnp.sum(state.features.valid)
     tracked_ratio = n_tracked / jnp.maximum(n_prev_valid, 1)
 
@@ -316,7 +327,7 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
     feats, n_assoc = _associate_landmarks(cfg, rig, feats, state.lmap, R_pred, t_pred)
 
     # ---- STEREO + TRIANGULATE ----------------------------------------------
-    feats, X_cam, tri_ok = _stereo_and_triangulate(cfg, rig, pyr_l, pyr_r, sizes, feats, F_rig)
+    feats, X_cam, tri_ok = _stereo_and_triangulate(cfg, rig, pyr_l, pyr_r, tsizes, feats, F_rig)
 
     # ---- KEYLINES (track / detect / describe / associate / stereo) ----------
     # ≡ keyline_tracker + keyline_detector + line triangulation; the whole
@@ -329,11 +340,11 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
     if cfg.use_keylines:
         from zenslam_tpu.pipeline import lines_step as LS
 
-        H, W = pyr_l.shape[-2:]
+        H, W = tsizes[0]
         lk_temporal = lambda pts, v, init_pts=None: _lk_fb(
-            cfg, state.prev_pyr_l, pyr_l, sizes, pts, v, init_pts=init_pts)
+            cfg, state.prev_pyr_l, pyr_l, tsizes, pts, v, init_pts=init_pts)
         lk_stereo = lambda pts, v, init_pts=None: _lk_fb(
-            cfg, pyr_l, pyr_r, sizes, pts, v, init_pts=init_pts)
+            cfg, pyr_l, pyr_r, tsizes, pts, v, init_pts=init_pts)
         lines, n_lines_trk = LS.line_temporal_track(
             cfg, rig, lines, line_map, lk_temporal, R_pred, t_pred, (H, W))
         lines, n_line_det, next_line_id = LS.line_detect_topup(
