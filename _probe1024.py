@@ -13,7 +13,7 @@ def main():
     n_frames = 24
     t0 = time.perf_counter()
     seq = make_sequence(np.random.default_rng(11), n_frames=n_frames,
-                        width=1024, height=1024, motion="arc", speed=0.5)
+                        width=1024, height=1024, motion="arc", speed=0.5, device_render=True)
     print(f"render: {time.perf_counter()-t0:.1f}s")
     cfg = SlamConfig()
     left = [jax.device_put(f) for f in seq.left]

@@ -1,4 +1,5 @@
-"""Capture a device trace of slam_step at 1024x1024 and print the op table."""
+"""Capture a device trace of slam_step and print the per-op device-time table
+(the data source for ROOFLINE.md). Usage: python profile_trace.py [--width W --height H]"""
 import glob
 import os
 import time
@@ -13,9 +14,15 @@ from zenslam_tpu.pipeline.step import slam_step
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1024)
+    ap.add_argument("--height", type=int, default=1024)
+    args = ap.parse_args()
     cfg = SlamConfig()
     seq = make_sequence(np.random.default_rng(11), n_frames=8,
-                        width=1024, height=1024, motion="arc", speed=0.5)
+                        width=args.width, height=args.height, motion="arc",
+                        speed=0.5, device_render=True)
     left = [jax.device_put(f) for f in seq.left]
     right = [jax.device_put(f) for f in seq.right]
     state = init_state(cfg, seq.left[0].shape)

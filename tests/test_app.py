@@ -1,0 +1,88 @@
+"""End-to-end application tests: exported EuRoC-style dataset → app.main →
+telemetry CSV (with phase durations), trajectory, ATE, effective options.
+
+≡ the reference's `main.cpp` control flow (options → reader → slam loop →
+CSV/ATE → options emit-back) driven exactly as a user would."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from zenslam_tpu.io.synthetic import make_sequence, export_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ds"))
+    seq = make_sequence(np.random.default_rng(5), n_frames=10, width=256,
+                        height=192, motion="strafe", speed=0.5, with_imu=True)
+    export_dataset(seq, root)
+    return root, seq
+
+
+class TestAppEndToEnd:
+    def test_full_run(self, dataset, tmp_path):
+        root, seq = dataset
+        out = str(tmp_path / "out")
+        opts = {
+            "folder": {
+                "root": root,
+                "output": out,
+                "groundtruth_file": os.path.join(root, "groundtruth.csv"),
+            },
+            "slam": {"max_keypoints": 256, "max_landmarks": 2048,
+                     "kf_min_frames": 2, "kf_min_translation": 0.04},
+            "backend": {"ba_every_kf": True, "enable_loop_closure": False},
+        }
+        opts_path = str(tmp_path / "options.yaml")
+        with open(opts_path, "w") as f:
+            yaml.safe_dump(opts, f)
+
+        from zenslam_tpu.app import main
+        rc = main(["--options-file", opts_path])
+        assert rc == 0
+
+        # telemetry CSV with the phase-duration columns
+        rows = list(csv.DictReader(open(os.path.join(out, "frame_data.csv"))))
+        assert len(rows) == 10
+        for col in ("duration_wait_ms", "duration_step_ms",
+                    "duration_backend_ms", "duration_total_ms"):
+            assert col in rows[0]
+        assert any(float(r["duration_backend_ms"]) > 0 for r in rows), \
+            "keyframes ran backend work — backend phase must be recorded"
+        assert all(float(r["duration_step_ms"]) > 0 for r in rows[1:])
+
+        # trajectory parses and roughly matches GT motion direction
+        traj = np.loadtxt(os.path.join(out, "trajectory.csv"),
+                          delimiter=",", comments="#")
+        assert traj.shape[0] == 10
+        dx = traj[-1, 1] - traj[0, 1]
+        gt_dx = (-seq.R_lw[-1].T @ seq.t_lw[-1])[0] - (-seq.R_lw[0].T @ seq.t_lw[0])[0]
+        assert np.sign(dx) == np.sign(gt_dx) and abs(dx - gt_dx) < 0.1
+
+        # effective options emitted back (≡ options_writer)
+        eff = yaml.safe_load(open(os.path.join(out, "effective_options.yaml")))
+        assert eff["slam"]["max_keypoints"] == 256
+
+    def test_clahe_path_runs(self, dataset, tmp_path):
+        """CLAHE wired behind SlamConfig.use_clahe (≡ processor.cpp:25-39)."""
+        root, seq = dataset
+        out = str(tmp_path / "out_clahe")
+        opts = {
+            "folder": {"root": root, "output": out},
+            "slam": {"max_keypoints": 256, "max_landmarks": 2048,
+                     "use_clahe": True},
+            "backend": {"ba_every_kf": False, "enable_loop_closure": False},
+        }
+        opts_path = str(tmp_path / "options_clahe.yaml")
+        with open(opts_path, "w") as f:
+            yaml.safe_dump(opts, f)
+        from zenslam_tpu.app import main
+        rc = main(["--options-file", opts_path, "--take", "4"])
+        assert rc == 0
+        rows = list(csv.DictReader(open(os.path.join(out, "frame_data.csv"))))
+        assert len(rows) == 4
+        assert int(rows[-1]["n_tracked"]) > 30

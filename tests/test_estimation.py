@@ -83,7 +83,8 @@ class TestRigid:
         t = jnp.asarray(rng.normal(0, 1, 3).astype(np.float32))
         dst = src @ R.T + t
         Rh, th, s = umeyama(src, dst)
-        assert float(rotation_angle(Rh @ R.T)) < 1e-4
+        # f32 arccos near identity quantizes at ~1e-3 rad
+        assert float(rotation_angle(Rh @ R.T)) < 2e-3
         np.testing.assert_allclose(np.asarray(th), np.asarray(t), atol=1e-4)
         assert abs(float(s) - 1.0) < 1e-5
 
@@ -242,3 +243,98 @@ class TestFusion:
         )
         _, t_f, conf, _ = fuse_poses(cands)
         np.testing.assert_allclose(np.asarray(t_f), 0.0, atol=1e-5)
+
+
+class TestEigensolvers:
+    """Direct coverage of the custom smallest-eigenvector solvers (they
+    replace jnp.linalg.eigh custom calls on the hot path)."""
+
+    def test_smallest_eigvec_12_matches_eigh(self):
+        """On DLT-like spectra (near-null smallest eigenvector — the
+        documented contract: exact-data smallest eig is 0) the inverse
+        iteration must agree with eigh up to sign."""
+        from zenslam_tpu.estimation.pnp import _smallest_eigvec_12
+        rng = np.random.default_rng(3)
+        for _ in range(20):
+            Q, _ = np.linalg.qr(rng.normal(size=(12, 12)))
+            lam = np.sort(rng.uniform(0.3, 3.0, 12))
+            lam[0] = rng.uniform(0.0, 0.01)  # near-null DLT direction
+            ATA = jnp.asarray((Q * lam) @ Q.T, jnp.float32)
+            v = np.asarray(_smallest_eigvec_12(ATA))
+            w, V = np.linalg.eigh(np.asarray(ATA))
+            ref = V[:, 0]
+            err = min(np.linalg.norm(v - ref), np.linalg.norm(v + ref))
+            assert err < 5e-2, (err, w[:2])
+            # Rayleigh quotient near the smallest eigenvalue
+            rq = float(v @ np.asarray(ATA) @ v)
+            assert rq <= w[0] + 1e-2 * (w[-1] - w[0]) + 1e-6
+
+    def test_smallest_eigvec_12_random_gram_rayleigh(self):
+        """On arbitrary full-rank Gram matrices (no spectral gap guarantee)
+        the solver must still return a finite unit vector with a small
+        Rayleigh quotient — the graceful-degradation contract."""
+        from zenslam_tpu.estimation.pnp import _smallest_eigvec_12
+        rng = np.random.default_rng(4)
+        for _ in range(10):
+            B = rng.normal(size=(14, 12)).astype(np.float32)
+            ATA = jnp.asarray(B.T @ B)
+            v = np.asarray(_smallest_eigvec_12(ATA))
+            assert np.all(np.isfinite(v))
+            assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+            w = np.linalg.eigvalsh(np.asarray(ATA))
+            rq = float(v @ np.asarray(ATA) @ v)
+            assert rq <= w[0] + 0.2 * (w[-1] - w[0])
+
+    def test_smallest_eigvec_12_coplanar_samples(self):
+        """Rank-deficient ATA from coplanar 3D points must stay finite and
+        keep a near-zero Rayleigh quotient."""
+        from zenslam_tpu.estimation.pnp import _smallest_eigvec_12
+        rng = np.random.default_rng(5)
+        X = np.concatenate([rng.normal(size=(6, 2)), np.zeros((6, 1))], -1)
+        xn = rng.normal(scale=0.2, size=(6, 2))
+        rows = []
+        for (x, y, z), (u, v) in zip(X, xn):
+            rows.append([x, y, z, 1, 0, 0, 0, 0, -u * x, -u * y, -u * z, -u])
+            rows.append([0, 0, 0, 0, x, y, z, 1, -v * x, -v * y, -v * z, -v])
+        A = np.asarray(rows, np.float32)
+        ATA = jnp.asarray(A.T @ A)
+        vec = np.asarray(_smallest_eigvec_12(ATA))
+        assert np.all(np.isfinite(vec))
+        w = np.linalg.eigvalsh(np.asarray(ATA))
+        rq = float(vec @ np.asarray(ATA) @ vec)
+        assert rq <= w[0] + 1e-3 * max(w[-1], 1.0)
+
+    def test_pnp_dlt_minimal_six_points(self):
+        """Exact-data 6-point PnP via the custom eigensolver recovers pose."""
+        from zenslam_tpu.estimation.pnp import pnp_dlt
+        from zenslam_tpu.geometry.lie import so3_exp
+        rng = np.random.default_rng(8)
+        R = np.asarray(so3_exp(jnp.asarray([0.2, -0.1, 0.3], jnp.float32)))
+        t = np.array([0.1, -0.2, 0.5], np.float32)
+        X = rng.uniform(-1, 1, (6, 3)).astype(np.float32) + [0, 0, 4]
+        xc = X @ R.T + t
+        xn = xc[:, :2] / xc[:, 2:3]
+        R_est, t_est = pnp_dlt(jnp.asarray(X), jnp.asarray(xn))
+        # minimal 6-point DLT in f32 is conditioning-limited; the bound
+        # guards the eigensolver path, not DLT precision
+        assert np.linalg.norm(np.asarray(R_est) - R) < 2e-2
+        assert np.linalg.norm(np.asarray(t_est) - t) < 5e-2
+
+    def test_smallest_eigvec_4_matches_eigh(self):
+        """DLT-like spectra (near-null smallest direction, the solver's
+        contract) — batched agreement with eigh up to sign."""
+        from zenslam_tpu.geometry.triangulate import _smallest_eigvec_4
+        rng = np.random.default_rng(11)
+        mats = []
+        for _ in range(64):
+            Q, _ = np.linalg.qr(rng.normal(size=(4, 4)))
+            lam = np.sort(rng.uniform(0.3, 3.0, 4))
+            lam[0] = rng.uniform(0.0, 0.01)
+            mats.append((Q * lam) @ Q.T)
+        ATA = jnp.asarray(np.stack(mats), jnp.float32)
+        v = np.asarray(_smallest_eigvec_4(ATA))
+        for i in range(64):
+            w, V = np.linalg.eigh(np.asarray(ATA[i]))
+            ref = V[:, 0]
+            err = min(np.linalg.norm(v[i] - ref), np.linalg.norm(v[i] + ref))
+            assert err < 5e-2, (i, err)

@@ -62,3 +62,44 @@ class TestFullSystem:
         assert int(sys.bow_db.valid.sum()) == int(tel.is_keyframe.sum())
         gt = camera_positions(seq.R_lw, seq.t_lw)
         assert ate_rmse(camera_positions(tel.R_cw, tel.t_cw), gt) < 0.05
+
+
+class TestSystemVio:
+    """VIO wired through the FULL system (process_frame imu=), not just the
+    bare run_sequence path — ≡ `slam_thread.cpp:118-132, 221-235` where the
+    reference's live loop always runs the IMU machinery."""
+
+    @pytest.fixture(scope="class")
+    def vio_seq(self):
+        return make_sequence(np.random.default_rng(11), n_frames=16,
+                             motion="arc", with_imu=True)
+
+    def test_imu_on_tracks_and_estimates_gravity(self, vio_seq):
+        seq = vio_seq
+        gt = camera_positions(seq.R_lw, seq.t_lw)
+        bcfg = BackendConfig(ba_every_kf=False, enable_loop_closure=False)
+        sys_v = create_system(CFG, bcfg, seq.rig, seq.left[0].shape)
+        imu = (seq.gyro, seq.accel, seq.imu_dts, seq.imu_mask)
+        tel_v, _ = run_system(sys_v, seq.left, seq.right, imu=imu)
+        assert tel_v.pose_ok[1:].all()
+        ate_v = ate_rmse(camera_positions(tel_v.R_cw, tel_v.t_cw), gt)
+        assert ate_v < 0.02
+        # the VIO state actually engaged: gravity observed through the system path
+        assert bool(sys_v.state.vio.gravity_ok)
+        g = np.asarray(sys_v.state.vio.gravity_w)
+        assert np.linalg.norm(g - np.asarray(seq.gravity_w)) < 0.5
+
+    def test_imu_not_worse_than_vision_only(self, vio_seq):
+        """IMU-on must match or beat vision-only ATE on the arc+gravity
+        sequence (the inertial prediction replaces constant-velocity)."""
+        seq = vio_seq
+        gt = camera_positions(seq.R_lw, seq.t_lw)
+        bcfg = BackendConfig(ba_every_kf=False, enable_loop_closure=False)
+        sys_o = create_system(CFG, bcfg, seq.rig, seq.left[0].shape)
+        tel_o, _ = run_system(sys_o, seq.left, seq.right)
+        ate_o = ate_rmse(camera_positions(tel_o.R_cw, tel_o.t_cw), gt)
+        sys_v = create_system(CFG, bcfg, seq.rig, seq.left[0].shape)
+        imu = (seq.gyro, seq.accel, seq.imu_dts, seq.imu_mask)
+        tel_v, _ = run_system(sys_v, seq.left, seq.right, imu=imu)
+        ate_v = ate_rmse(camera_positions(tel_v.R_cw, tel_v.t_cw), gt)
+        assert ate_v <= ate_o * 1.2 + 1e-4

@@ -25,6 +25,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser("zenslam_tpu")
     ap.add_argument("--options-file", default=None)
     ap.add_argument("--no-backend", action="store_true")
+    ap.add_argument("--no-imu", action="store_true",
+                    help="ignore the IMU stream (vision-only)")
     ap.add_argument("--take", type=int, default=0, help="override take_frames")
     ap.add_argument("--version", action="store_true")
     args = ap.parse_args(argv)
@@ -80,14 +82,27 @@ def main(argv=None):
     traj_f = open(traj_path, "w")
     traj_f.write("# timestamp, px, py, pz (camera center, world frame)\n")
 
+    has_imu = reader.has_imu() and not args.no_imu
+    if has_imu:
+        print("IMU stream found — VIO branch enabled")
     system = None
     est_pos, gt_pos, times = [], [], []
     n = 0
     t_start = time.time()
     mx_l = my_l = mx_r = my_r = None
-    for frame in reader.frames():
+    frame_iter = reader.frames_prefetch()  # native decode threads ≡ reader_thread
+    while True:
+        t_wait0 = time.time()
+        frame = next(frame_iter, None)
+        if frame is None:
+            break
+        wait_ms = (time.time() - t_wait0) * 1000
         il = jnp.asarray(frame.left)
         ir = jnp.asarray(frame.right)
+        imu = None
+        if has_imu:
+            imu = (jnp.asarray(frame.imu_gyro), jnp.asarray(frame.imu_accel),
+                   jnp.asarray(frame.imu_dt), jnp.asarray(frame.imu_mask))
         if maps is not None:
             if mx_l is None:
                 mx_l, my_l = jnp.asarray(maps.left_x), jnp.asarray(maps.left_y)
@@ -101,10 +116,12 @@ def main(argv=None):
                 print(f"no calibration file — default rig for {W}x{H}")
             system = create_system(opts.slam, opts.backend, rig, il.shape)
         t0 = time.time()
-        tel, info = process_frame(system, il, ir)
+        tel, info = process_frame(system, il, ir, imu=imu)
         jax.block_until_ready(tel.t_cw)
-        dt_ms = (time.time() - t0) * 1000
-        telemetry.write(tel, timestamp=frame.timestamp, duration_ms=dt_ms)
+        dt_ms = (time.time() - t0) * 1000 + wait_ms
+        telemetry.write(tel, timestamp=frame.timestamp, duration_ms=dt_ms,
+                        wait_ms=wait_ms, step_ms=info["step_ms"],
+                        backend_ms=info["backend_ms"])
         R = np.asarray(tel.R_cw)
         t = np.asarray(tel.t_cw)
         c = -R.T @ t

@@ -30,6 +30,12 @@ class KeyframeDB(NamedTuple):
     t: jnp.ndarray         # (K, 3)
     kp_xy: jnp.ndarray     # (K, N, 2) keypoint pixels at keyframe time
     kp_lm: jnp.ndarray     # (K, N) int32 landmark slot (-1 none)
+    kp_lm_gen: jnp.ndarray # (K, N) int32 landmark GENERATION at observation —
+                           # a slot reference is live iff the current map's
+                           # generation still matches (slots are LRU-recycled)
+    kp_xyz: jnp.ndarray    # (K, N, 3) landmark world position at keyframe
+                           # time — loop-closure PnP anchors against the OLD
+                           # keyframe's own geometry, immune to recycling
     kp_valid: jnp.ndarray  # (K, N) bool
     kp_uvr: jnp.ndarray    # (K, N, 2) right-image pixels (stereo transfer)
     kp_stereo: jnp.ndarray # (K, N) bool — stereo observation valid
@@ -46,6 +52,8 @@ def kf_db_init(max_keyframes: int, max_keypoints: int) -> KeyframeDB:
         t=jnp.zeros((K, 3), jnp.float32),
         kp_xy=jnp.zeros((K, N, 2), jnp.float32),
         kp_lm=jnp.full((K, N), -1, jnp.int32),
+        kp_lm_gen=jnp.full((K, N), -1, jnp.int32),
+        kp_xyz=jnp.zeros((K, N, 3), jnp.float32),
         kp_valid=jnp.zeros((K, N), bool),
         kp_uvr=jnp.zeros((K, N, 2), jnp.float32),
         kp_stereo=jnp.zeros((K, N), bool),
@@ -58,18 +66,24 @@ def kf_db_init(max_keyframes: int, max_keypoints: int) -> KeyframeDB:
 
 @jax.jit
 def kf_db_add(db: KeyframeDB, R, t, kp_xy, kp_lm, kp_valid, kp_desc, frame_idx,
-              kp_uvr=None, kp_stereo=None):
+              kp_uvr=None, kp_stereo=None, kp_lm_gen=None, kp_xyz=None):
     """Insert a keyframe at the ring pointer (oldest evicted when full)."""
     s = db.next_slot
     if kp_uvr is None:
         kp_uvr = jnp.zeros_like(kp_xy)
     if kp_stereo is None:
         kp_stereo = jnp.zeros(kp_xy.shape[0], bool)
+    if kp_lm_gen is None:
+        kp_lm_gen = jnp.where(kp_lm >= 0, 0, -1)
+    if kp_xyz is None:
+        kp_xyz = jnp.zeros((kp_xy.shape[0], 3), jnp.float32)
     return db._replace(
         R=db.R.at[s].set(R),
         t=db.t.at[s].set(t),
         kp_xy=db.kp_xy.at[s].set(kp_xy),
         kp_lm=db.kp_lm.at[s].set(kp_lm),
+        kp_lm_gen=db.kp_lm_gen.at[s].set(kp_lm_gen),
+        kp_xyz=db.kp_xyz.at[s].set(kp_xyz),
         kp_valid=db.kp_valid.at[s].set(kp_valid),
         kp_uvr=db.kp_uvr.at[s].set(kp_uvr),
         kp_stereo=db.kp_stereo.at[s].set(kp_stereo),
@@ -111,7 +125,8 @@ def recent_mask(db: KeyframeDB, n: int):
 
 
 def ba_problem_from_db(db: KeyframeDB, lmap_xyz, lmap_valid, rig,
-                       window_mask=None, fix_mask=None) -> BAProblem:
+                       window_mask=None, fix_mask=None,
+                       lmap_generation=None) -> BAProblem:
     """Flatten keyframe snapshots into a masked STEREO BA problem.
 
     ≡ the observation harvest in `local_bundle_adjustment.cpp:241-281`
@@ -125,6 +140,11 @@ def ba_problem_from_db(db: KeyframeDB, lmap_xyz, lmap_valid, rig,
     K, N = db.kp_lm.shape
     kf_sel = db.valid if window_mask is None else (db.valid & window_mask)
     has_lm = db.kp_valid & (db.kp_lm >= 0) & kf_sel[:, None]
+    if lmap_generation is not None:
+        # drop observations whose landmark slot has been LRU-recycled since
+        # the keyframe was taken (generation mismatch = different landmark)
+        cur_gen = lmap_generation[jnp.clip(db.kp_lm, 0, None)]
+        has_lm = has_lm & (cur_gen == db.kp_lm_gen)
     obs_valid_l = has_lm.reshape(-1)
     obs_valid_r = (has_lm & db.kp_stereo).reshape(-1)
     obs_kf1 = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)

@@ -42,11 +42,14 @@ def _smallest_eigvec_12(ATA):
     the f32 Cholesky positive-definite while staying far below the next
     eigenvalue, so one solve already lands on the null space; the extra
     iterations cover noisy/near-degenerate samples (which the prior-seeded GN
-    path backstops anyway).
+    path backstops anyway). The 1e-5 shift sits ~7x above the f32 rounding
+    error of forming ATA (~12·eps ≈ 1.4e-6) — a 1e-6 shift could be pushed
+    indefinite by rounding, silently NaN-ing the Cholesky and wasting the
+    RANSAC iteration — while staying far below typical second eigenvalues.
     """
     tr = jnp.trace(ATA)
     scale = jnp.maximum(tr / 12.0, 1e-20)
-    A = ATA / scale + 1e-6 * jnp.eye(12, dtype=ATA.dtype)
+    A = ATA / scale + 1e-5 * jnp.eye(12, dtype=ATA.dtype)
     chol = jax.scipy.linalg.cho_factor(A, lower=True)
     v = jnp.full((12,), 1.0 / jnp.sqrt(12.0), ATA.dtype)
 

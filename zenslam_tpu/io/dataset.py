@@ -111,6 +111,12 @@ class FolderReader:
             out.append((ts, os.path.join(d, n)))
         return out
 
+    def has_imu(self) -> bool:
+        """Whether the dataset carries an IMU stream (enables the app's VIO
+        branch, ≡ the reference always preintegrating when imu data exists,
+        `processor.cpp:57-63`)."""
+        return os.path.exists(os.path.join(self.root, self.imu_file))
+
     def _load_imu(self):
         path = os.path.join(self.root, self.imu_file)
         if not os.path.exists(path):
@@ -119,7 +125,9 @@ class FolderReader:
         ts = rows[:, 0] * self.timescale
         return ts, rows[:, 1:4].astype(np.float32), rows[:, 4:7].astype(np.float32)
 
-    def frames(self) -> Iterator[StereoFrame]:
+    def frame_index(self):
+        """Paired (timestamp, left_path, right_path) list after skip/take
+        windowing (≡ folder_reader's sorted pairing, filename-ns stamps)."""
         left = self._list(self.left_dir)
         right = self._list(self.right_dir)
         # pair by timestamp (EuRoC: identical ns stamps)
@@ -128,31 +136,74 @@ class FolderReader:
         pairs = pairs[self.skip_frames :]
         if self.take_frames:
             pairs = pairs[: self.take_frames]
+        return pairs
+
+    def _imu_slice(self, imu, prev_ts, ts):
+        """Fixed-capacity IMU slice of the (prev_ts, ts] interval
+        (≡ `folder_reader.cpp:130-202`)."""
+        S = self.max_imu_per_frame
+        g = np.zeros((S, 3), np.float32)
+        a = np.zeros((S, 3), np.float32)
+        dt = np.zeros(S, np.float32)
+        m = np.zeros(S, bool)
+        if imu is not None:
+            its, gyro, accel = imu
+            sel = np.flatnonzero((its > prev_ts) & (its <= ts))[:S]
+            n = sel.size
+            if n:
+                g[:n] = gyro[sel]
+                a[:n] = accel[sel]
+                seg_ts = its[sel]
+                dts = np.diff(np.concatenate([[prev_ts], seg_ts])).astype(np.float32)
+                dt[:n] = dts
+                m[:n] = True
+        return g, a, dt, m
+
+    def frames(self) -> Iterator[StereoFrame]:
+        pairs = self.frame_index()
         imu = self._load_imu()
         prev_ts = pairs[0][0] if pairs else 0.0
-        S = self.max_imu_per_frame
         for ts, lp, rp in pairs:
-            g = np.zeros((S, 3), np.float32)
-            a = np.zeros((S, 3), np.float32)
-            dt = np.zeros(S, np.float32)
-            m = np.zeros(S, bool)
-            if imu is not None:
-                its, gyro, accel = imu
-                sel = np.flatnonzero((its > prev_ts) & (its <= ts))[:S]
-                n = sel.size
-                if n:
-                    g[:n] = gyro[sel]
-                    a[:n] = accel[sel]
-                    seg_ts = its[sel]
-                    dts = np.diff(np.concatenate([[prev_ts], seg_ts])).astype(np.float32)
-                    dt[:n] = dts
-                    m[:n] = True
+            g, a, dt, m = self._imu_slice(imu, prev_ts, ts)
             yield StereoFrame(
                 timestamp=ts,
                 left=_decode_image(lp),
                 right=_decode_image(rp),
                 imu_gyro=g, imu_accel=a, imu_dt=dt, imu_mask=m,
             )
+            prev_ts = ts
+
+    def frames_prefetch(self, queue_cap: int = 4,
+                        n_threads: int = 2) -> Iterator[StereoFrame]:
+        """Like :meth:`frames` but image decode runs on NATIVE worker threads
+        overlapping device compute (≡ the reference's reader_thread,
+        `io/reader_thread.h:39-72`). Falls back to the serial path when the
+        native library can't build or the images aren't PNG."""
+        pairs = self.frame_index()
+        if not pairs:
+            return
+        if not pairs[0][1].endswith(".png"):
+            yield from self.frames()
+            return
+        try:
+            from zenslam_tpu.native.loader import PrefetchReader
+
+            first = _decode_image(pairs[0][1])
+        except Exception:
+            yield from self.frames()
+            return
+        H, W = first.shape
+        imu = self._load_imu()
+        ts_list = [p[0] for p in pairs]
+        reader = PrefetchReader([p[1] for p in pairs], [p[2] for p in pairs],
+                                width=W, height=H, queue_cap=queue_cap,
+                                n_threads=n_threads)
+        prev_ts = ts_list[0]
+        for idx, l, r in reader:
+            ts = ts_list[idx]
+            g, a, dt, m = self._imu_slice(imu, prev_ts, ts)
+            yield StereoFrame(timestamp=ts, left=l, right=r,
+                              imu_gyro=g, imu_accel=a, imu_dt=dt, imu_mask=m)
             prev_ts = ts
 
 

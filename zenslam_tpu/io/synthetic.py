@@ -104,6 +104,34 @@ def make_corridor_world(rng: np.random.Generator, tex_size: int = 1024,
     return PlaneWorld(normals, offsets, origins, u_axes, v_axes, textures, tex_scale=96.0)
 
 
+def make_room_world(rng: np.random.Generator, tex_size: int = 1024,
+                    half: float = 3.0) -> PlaneWorld:
+    """A closed room (4 walls + floor + ceiling), each plane with its own
+    texture — the world for loop-closure trajectories: an orbit inside the
+    room revisits its starting view after a full revolution."""
+    textures = np.stack([smooth_texture(rng, tex_size, tex_size) for _ in range(6)])
+    normals = np.array(
+        [[1.0, 0, 0], [1.0, 0, 0],    # walls x = ±half
+         [0, 0, 1.0], [0, 0, 1.0],    # walls z = ±half
+         [0, 1.0, 0], [0, 1.0, 0]],   # floor y=+1.5, ceiling y=-1.2
+        np.float32)
+    points = np.array(
+        [[half, 0, 0], [-half, 0, 0],
+         [0, 0, half], [0, 0, -half],
+         [0, 1.5, 0], [0, -1.2, 0]], np.float32)
+    offsets = -np.einsum("pi,pi->p", normals, points).astype(np.float32)
+    u_axes = np.array(
+        [[0, 0, 1], [0, 0, 1],
+         [1, 0, 0], [1, 0, 0],
+         [1, 0, 0], [1, 0, 0]], np.float32)
+    v_axes = np.array(
+        [[0, 1, 0], [0, 1, 0],
+         [0, 1, 0], [0, 1, 0],
+         [0, 0, 1], [0, 0, 1]], np.float32)
+    return PlaneWorld(normals, offsets, points, u_axes, v_axes, textures,
+                      tex_scale=96.0)
+
+
 def render_view(world: PlaneWorld, cam: PinholeCamera, R_cw: np.ndarray, t_cw: np.ndarray,
                 height: int, width: int) -> np.ndarray:
     """Render one camera view by ray-plane intersection + texture lookup.
@@ -332,17 +360,25 @@ def make_sequence(
     imu_samples_per_frame: int = 10,
     gravity_w=(0.0, 9.81, 0.0),
     device_render: bool = False,
+    pixel_noise: float = 0.0,
+    orbit_radius: float = 1.5,
 ) -> SyntheticSequence:
     """Render a stereo sequence with known groundtruth.
 
-    motion: 'strafe' (x translation), 'forward' (z), 'arc' (translation + yaw).
+    motion: 'strafe' (x translation), 'forward' (z), 'arc' (translation +
+    yaw), 'orbit' (full revolution inside a closed room — REVISITS the
+    starting view at the end: the loop-closure workload).
     with_imu: also synthesize body-frame IMU samples per frame interval
     (body = left camera; ≡ the dataset IMU stream the reference slices per
     frame, `folder_reader.cpp:130-202`).
     device_render: render on the JAX device (same math; use for long/large
     benchmark sequences — host rendering of 1024² frames takes seconds each).
+    pixel_noise: additive Gaussian image noise σ (drives realistic VO drift).
     """
-    world = make_corridor_world(rng, with_lines=with_lines)
+    if motion == "orbit":
+        world = make_room_world(rng)
+    else:
+        world = make_corridor_world(rng, with_lines=with_lines)
     rig = default_rig(width, height)
     R_rl = np.asarray(rig.R_rl, np.float64)
     t_rl = np.asarray(rig.t_rl, np.float64)
@@ -365,6 +401,12 @@ def make_sequence(
         elif motion == "forward":
             c_w = np.array([0.0, 0.0, s])
             R_wc = np.eye(3)
+        elif motion == "orbit":
+            # one full revolution over the sequence, camera looking radially
+            # outward at the room walls; frame T-1 ≈ frame 0 (closed loop)
+            theta = 2.0 * np.pi * t / (n_frames * dt)
+            c_w = orbit_radius * np.array([np.sin(theta), 0.0, np.cos(theta)])
+            R_wc = _np_so3_exp(np.array([0.0, theta, 0.0]))
         else:  # arc
             yaw = 0.2 * t
             R_wc = _np_so3_exp(np.array([0.0, yaw, 0.0]))
@@ -382,8 +424,13 @@ def make_sequence(
         R_cw, t_cw = pose_fn(timestamps[i])
         R_rcw = R_rl @ R_cw
         t_rcw = R_rl @ t_cw + t_rl
-        lefts.append(render(world, rig.left, R_cw, t_cw, height, width))
-        rights.append(render(world, rig.right, R_rcw, t_rcw, height, width))
+        li = render(world, rig.left, R_cw, t_cw, height, width)
+        ri = render(world, rig.right, R_rcw, t_rcw, height, width)
+        if pixel_noise > 0:
+            li = np.clip(li + rng.normal(0, pixel_noise, li.shape), 0, 1).astype(np.float32)
+            ri = np.clip(ri + rng.normal(0, pixel_noise, ri.shape), 0, 1).astype(np.float32)
+        lefts.append(li)
+        rights.append(ri)
         Rs.append(R_cw.astype(np.float32))
         ts.append(t_cw.astype(np.float32))
 
@@ -429,14 +476,16 @@ def write_png_gray(path: str, img: np.ndarray) -> None:
 
 def export_dataset(seq: "SyntheticSequence", root: str) -> None:
     """Write a SyntheticSequence as an EuRoC-style folder dataset (PNG images
-    with nanosecond filenames + groundtruth CSV) for end-to-end app runs."""
+    with nanosecond filenames + groundtruth CSV + imu0/data.csv when the
+    sequence carries IMU) for end-to-end app runs."""
     import os
 
     os.makedirs(os.path.join(root, "cam0/data"), exist_ok=True)
     os.makedirs(os.path.join(root, "cam1/data"), exist_ok=True)
+    t0_ns = 1_000_000_000
     gt_rows = []
     for i in range(seq.left.shape[0]):
-        ns = int(seq.timestamps[i] * 1e9) + 1_000_000_000
+        ns = int(seq.timestamps[i] * 1e9) + t0_ns
         l8 = np.clip(seq.left[i] * 255.0, 0, 255).astype(np.uint8)
         r8 = np.clip(seq.right[i] * 255.0, 0, 255).astype(np.uint8)
         write_png_gray(os.path.join(root, f"cam0/data/{ns}.png"), l8)
@@ -448,3 +497,19 @@ def export_dataset(seq: "SyntheticSequence", root: str) -> None:
         q = np.asarray(rotmat_to_quat(_jnp.asarray(R.T)))  # R_wc quaternion
         gt_rows.append([ns, c[0], c[1], c[2], q[0], q[1], q[2], q[3]])
     np.savetxt(os.path.join(root, "groundtruth.csv"), np.asarray(gt_rows), delimiter=",")
+    if seq.gyro is not None:
+        # EuRoC imu0/data.csv: ns, wx, wy, wz, ax, ay, az. Sample k of frame
+        # interval i ends at cumulative dt into the interval.
+        os.makedirs(os.path.join(root, "imu0"), exist_ok=True)
+        rows = []
+        for i in range(seq.left.shape[0]):
+            t_start = seq.timestamps[i - 1] if i else seq.timestamps[0]
+            acc = t_start
+            for k in range(seq.gyro.shape[1]):
+                if not seq.imu_mask[i, k]:
+                    continue
+                acc += float(seq.imu_dts[i, k])
+                ns = int(acc * 1e9) + t0_ns
+                rows.append([ns, *seq.gyro[i, k], *seq.accel[i, k]])
+        np.savetxt(os.path.join(root, "imu0/data.csv"), np.asarray(rows),
+                   delimiter=",", fmt=["%d"] + ["%.9f"] * 6)

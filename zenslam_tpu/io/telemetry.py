@@ -22,6 +22,13 @@ COLUMNS = [
     "n_lines", "n_line_triangulated", "line_map_size",
     "tx", "ty", "tz", "r00", "r01", "r02", "r10", "r11", "r12",
     "r20", "r21", "r22",
+    # per-phase durations (≡ the duration columns of `frame/writer.cpp:34-110`
+    # / `time_this.h`). The in-step stages (pyramid/track/detect/…) are ONE
+    # fused XLA program here by design, so the phases a frame can vary in are:
+    # wait (frame fetch/decode, ≡ durations.wait), step (the fused device
+    # program), backend (BA + loop closure on keyframes). Per-KERNEL device
+    # timings live in ROOFLINE.md / profile_step.py (trace-based).
+    "duration_wait_ms", "duration_step_ms", "duration_backend_ms",
     "duration_total_ms",
 ]
 
@@ -35,7 +42,9 @@ class TelemetryWriter:
         self._w.writerow(COLUMNS)
         self._n = 0
 
-    def write(self, tel, timestamp: float = 0.0, duration_ms: float = 0.0):
+    def write(self, tel, timestamp: float = 0.0, duration_ms: float = 0.0,
+              wait_ms: float = 0.0, step_ms: float = 0.0,
+              backend_ms: float = 0.0):
         R = np.asarray(tel.R_cw).reshape(-1)
         t = np.asarray(tel.t_cw)
         row = [
@@ -48,6 +57,7 @@ class TelemetryWriter:
             int(getattr(tel, "n_line_triangulated", 0)),
             int(getattr(tel, "line_map_size", 0)),
             *[float(x) for x in t], *[float(x) for x in R],
+            wait_ms, step_ms, backend_ms,
             duration_ms,
         ]
         self._w.writerow(row)

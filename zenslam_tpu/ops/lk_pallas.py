@@ -110,14 +110,23 @@ def _lk_fb_kernel(
     r_i = jax.lax.broadcasted_iota(jnp.int32, (BG, B * _TH), 0)
     k_i = jax.lax.broadcasted_iota(jnp.int32, (BG, B * _TH), 1)
     row_blk = [(r_i // G == b) & (k_i // _TH == b) for b in range(B)]
-    d_row = (k_i % _TH) - (r_i % G)
+    row_w = r_i % G      # window row index field
+    k_row = k_i % _TH    # tile row index field
     k2_i = jax.lax.broadcasted_iota(jnp.int32, (_TW, BG), 0)
     c_i = jax.lax.broadcasted_iota(jnp.int32, (_TW, BG), 1)
     col_blk = [c_i // G == b for b in range(B)]
-    d_col = k2_i - (c_i % G)
+    col_w = c_i % G      # window col index field
+    k_col = k2_i         # tile col index field
 
     def sample_block(refs_lvl, l, pxs, pys):
         """Bilinear (G, G) grids for B points at level l. Static bounds.
+
+        Sampling is EDGE-CLAMPED per window cell (≡ the XLA fallback's
+        _sample_clamped / cv::BORDER_REPLICATE): each selector one-hot
+        targets clip(window_row + cy, 0, h-1). Without clamping, coarse
+        pyramid levels of small images (e.g. level 3 of 320x240 is 30x40 —
+        smaller than one window margin band) reject nearly every window, the
+        coarse-to-fine chain never initializes, and large motions are lost.
 
         Matmuls run in the pyramid's dtype (bf16 pyramids → bf16 MXU passes
         with f32 accumulation; selector one-hots and subpixel fractions are
@@ -136,26 +145,30 @@ def _lk_fb_kernel(
             px, py = pxs[b], pys[b]
             ix = jnp.floor(px)
             iy = jnp.floor(py)
-            in_oks.append((ix - radius - 1 >= 0) & (iy - radius - 1 >= 0)
-                          & (ix + radius + 3 <= w) & (iy + radius + 3 <= h))
+            # center-in-bounds status (≡ the XLA path's 1 px margin test);
+            # the window itself is edge-clamped, not rejected
+            in_oks.append((px >= 1.0) & (py >= 1.0)
+                          & (px <= w - 2.0) & (py <= h - 2.0))
             cx = (ix - radius - 1).astype(jnp.int32)   # window top-left
             cy = (iy - radius - 1).astype(jnp.int32)
             oy = jnp.clip((cy // 8) * 8, 0, Hp - _TH)
             ox = jnp.clip((cx // 128) * 128, 0, Wp - _TW)
             tiles.append(refs_lvl[l][pl.ds(pl.multiple_of(oy, 8), _TH),
                                      pl.ds(pl.multiple_of(ox, 128), _TW)])
-            dy = cy - oy
-            dx = cx - ox
             fyf = py - iy
             fxf = px - ix
+            t0 = jnp.clip(row_w + cy, 0, h - 1) - oy
+            t1 = jnp.clip(row_w + cy + 1, 0, h - 1) - oy
             Rv = Rv + jnp.where(
                 row_blk[b],
-                (d_row == dy).astype(jnp.float32) * (1.0 - fyf)
-                + (d_row == dy + 1).astype(jnp.float32) * fyf, 0.0)
+                (k_row == t0).astype(jnp.float32) * (1.0 - fyf)
+                + (k_row == t1).astype(jnp.float32) * fyf, 0.0)
+            u0 = jnp.clip(col_w + cx, 0, w - 1) - ox
+            u1 = jnp.clip(col_w + cx + 1, 0, w - 1) - ox
             Cv = Cv + jnp.where(
                 col_blk[b],
-                (d_col == dx).astype(jnp.float32) * (1.0 - fxf)
-                + (d_col == dx + 1).astype(jnp.float32) * fxf, 0.0)
+                (k_col == u0).astype(jnp.float32) * (1.0 - fxf)
+                + (k_col == u1).astype(jnp.float32) * fxf, 0.0)
         T = jnp.concatenate(tiles, axis=0)  # (B*_TH, _TW)
         if dt == jnp.bfloat16:
             # bf16 MXU inputs with f32 accumulation (v5e native bf16 passes;

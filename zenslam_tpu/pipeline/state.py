@@ -33,6 +33,10 @@ class SlamConfig(NamedTuple):
     max_landmarks: int = 8192
     # image / pyramid
     pyramid_levels: int = 3
+    # CLAHE preprocessing (`processor.cpp:25-39`, clip 4.0 `processor.h:38`;
+    # off by default like the reference's baseline run)
+    use_clahe: bool = False
+    clahe_clip: float = 4.0
     # detection  (`detection_options.h`: cell 16, FAST)
     cell_size: int = 16
     fast_threshold: float = 10.0 / 255.0
@@ -129,6 +133,12 @@ class LandmarkMap(NamedTuple):
     valid: jnp.ndarray      # (M,) bool
     last_seen: jnp.ndarray  # (M,) int32 — frame index of last observation
     n_obs: jnp.ndarray      # (M,) int32 — number of observations
+    # slot REUSE counter: bumps every time LRU eviction recycles the slot.
+    # Keyframe snapshots record the generation they observed, so stale slot
+    # references (old keyframes pointing at recycled slots) are detectable —
+    # the reference's monotone global indices can never be recycled
+    # (`types/map.h`), this is the fixed-capacity equivalent of that safety.
+    generation: jnp.ndarray  # (M,) int32
 
 
 class VioState(NamedTuple):
@@ -275,6 +285,7 @@ def empty_landmarks(cfg: SlamConfig) -> LandmarkMap:
         valid=jnp.zeros(m, bool),
         last_seen=jnp.full(m, -1, jnp.int32),
         n_obs=jnp.zeros(m, jnp.int32),
+        generation=jnp.zeros(m, jnp.int32),
     )
 
 

@@ -292,6 +292,12 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
     `slam_thread.cpp:126-132, 221-235`). The VIO branch is compiled only
     when provided.
     """
+    if cfg.use_clahe:
+        # ≡ processor.cpp:25-39 (CLAHE before pyramid/detection/description)
+        from zenslam_tpu.ops.image import clahe
+
+        img_l = clahe(img_l, clip_limit=cfg.clahe_clip)
+        img_r = clahe(img_r, clip_limit=cfg.clahe_clip)
     pyr_l, pyr_r = build_ragged_pyramid_pair(
         img_l, img_r, cfg.pyramid_levels, dtype=pyramid_dtype(cfg))
     tsizes = ragged_level_sizes(
@@ -410,6 +416,7 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
         valid=lmap.valid.at[sl].set(placed, mode="drop"),
         last_seen=lmap.last_seen.at[sl].set(state.frame_idx, mode="drop"),
         n_obs=lmap.n_obs.at[sl].set(1, mode="drop"),
+        generation=lmap.generation.at[sl].add(1, mode="drop"),
     )
     feats = feats._replace(lm_idx=jnp.where(placed, slot, feats.lm_idx))
     # observed landmarks: bump last_seen/n_obs. The reference keeps the

@@ -34,6 +34,7 @@ from zenslam_tpu.backend.keyframes import (
 from zenslam_tpu.backend.ba import bundle_adjust
 from zenslam_tpu.backend.pose_graph import PoseGraph, optimize_pose_graph
 from zenslam_tpu.backend.bow import (
+    BowDatabase,
     build_vocabulary, descriptors_to_bow, bow_db_init, bow_db_add, bow_db_query,
 )
 from zenslam_tpu.estimation.pnp import solve_pnp_ransac
@@ -42,7 +43,7 @@ from zenslam_tpu.ops.match import match_descriptors
 
 @dataclass
 class BackendConfig:
-    max_keyframes: int = 16
+    max_keyframes: int = 64         # long-gap loops need their anchor KF alive
     ba_window: int = 8              # config[1]: 8-keyframe sliding window
     ba_iterations: int = 10
     ba_every_kf: bool = True
@@ -51,10 +52,20 @@ class BackendConfig:
     bow_words: int = 128
     bow_min_score: float = 0.35
     bow_min_frame_gap: int = 40
+    bow_top_k: int = 3              # geometric verification tries each candidate
     loop_min_inliers: int = 15
+    # loop anchors are the OLD keyframe's triangulations — they carry the
+    # stereo depth noise of their day, so the PnP gate is looser than the
+    # per-frame tracker's (measured: true loops validate at ~8 px, not 4)
+    loop_pnp_threshold: float = 8.0
     pose_graph_iterations: int = 15
+    # the vocabulary is retrained over ALL accumulated keyframe descriptors
+    # once this many keyframes exist (a codebook from one view is a poor
+    # quantizer; ≡ the reference training its vocab on a descriptor corpus,
+    # `bow_vocabulary.cpp:54-142`)
+    vocab_retrain_kfs: int = 8
     # pose-graph edge capacity
-    max_edges: int = 64
+    max_edges: int = 256
 
 
 @dataclass
@@ -77,6 +88,8 @@ class SlamSystem:
     last_kf_slot: int = -1
     n_loop_closures: int = 0
     n_ba_runs: int = 0
+    vocab_retrained: bool = False
+    loop_debug: list = field(default_factory=list)
 
 
 def create_system(cfg: SlamConfig, bcfg: BackendConfig, rig: StereoRig,
@@ -105,6 +118,7 @@ def _run_windowed_ba(sys: SlamSystem):
     p = ba_problem_from_db(
         sys.kf_db, sys.state.lmap.xyz, sys.state.lmap.valid,
         sys.rig, window_mask=window,
+        lmap_generation=sys.state.lmap.generation,
     )
     res = bundle_adjust(p, iterations=sys.bcfg.ba_iterations)
     slot = sys.last_kf_slot
@@ -120,6 +134,30 @@ def _run_windowed_ba(sys: SlamSystem):
     return float(res["rmse_before"]), float(res["rmse_after"])
 
 
+def _retrain_vocab(sys: SlamSystem):
+    """Retrain the BoW vocabulary over ALL accumulated keyframe descriptors
+    and re-quantize every stored keyframe under the new codebook (bow slots
+    stay aligned with keyframe slots)."""
+    db = sys.kf_db
+    K, N = db.kp_lm.shape
+    desc = db.kp_desc.reshape(K * N, 8)
+    valid = (db.kp_valid & db.valid[:, None]).reshape(K * N)
+    sys.vocab = build_vocabulary(jax.random.PRNGKey(13), desc, valid,
+                                 n_words=sys.bcfg.bow_words, iters=6)
+    hists = jax.vmap(lambda d, v: descriptors_to_bow(sys.vocab, d, v))(
+        db.kp_desc, db.kp_valid)
+    hists = hists * db.valid[:, None]
+    doc_freq = jnp.sum((hists > 0).astype(jnp.float32), axis=0)
+    sys.bow_db = BowDatabase(
+        hist=hists,
+        frame_idx=db.frame_idx,
+        valid=db.valid,
+        next_slot=db.next_slot,
+        doc_freq=doc_freq,
+    )
+    sys.vocab_retrained = True
+
+
 def _try_loop_closure(sys: SlamSystem, kf_slot: int, frame_idx: int):
     """BoW query → descriptor match → PnP vs old keyframe landmarks →
     pose-graph edge + optimization (config[3])."""
@@ -127,26 +165,48 @@ def _try_loop_closure(sys: SlamSystem, kf_slot: int, frame_idx: int):
     db = sys.kf_db
     hist = descriptors_to_bow(sys.vocab, db.kp_desc[kf_slot], db.kp_valid[kf_slot])
     scores, frames, slots = bow_db_query(
-        sys.bow_db, hist, frame_idx, min_frame_gap=bcfg.bow_min_frame_gap, top_k=3)
+        sys.bow_db, hist, frame_idx, min_frame_gap=bcfg.bow_min_frame_gap,
+        top_k=bcfg.bow_top_k)
     sys.bow_db = bow_db_add(sys.bow_db, hist, frame_idx)
-    if float(scores[0]) < bcfg.bow_min_score:
+    dbg = {"frame": frame_idx, "score": float(scores[0]),
+           "cand_frame": int(frames[0]), "n_corr": 0, "n_inliers": 0,
+           "fired": False}
+    sys.loop_debug.append(dbg)
+    # geometric verification over ALL scoring candidates (≡ the reference's
+    # sorted top-k query, `bow_database.cpp:51-130` — the similarity ranking
+    # of a small codebook is noisy; PnP is the arbiter)
+    res = None
+    old_slot = -1
+    for c in range(bcfg.bow_top_k):
+        if float(scores[c]) < bcfg.bow_min_score:
+            continue
+        cand_slot = int(slots[c])
+        # descriptor match: current keyframe keypoints vs old keyframe's
+        idx, dist, ok = match_descriptors(
+            db.kp_desc[kf_slot], db.kp_desc[cand_slot],
+            db.kp_valid[kf_slot], db.kp_valid[cand_slot],
+            max_distance=64, cross_check=True,
+        )
+        # 3D-2D: the OLD keyframe's own landmark-position snapshot vs current
+        # pixels. Using kp_xyz (not the live map) makes the loop anchor
+        # immune to LRU slot recycling.
+        old_lm = db.kp_lm[cand_slot][jnp.clip(idx, 0, None)]
+        corr_ok = ok & (old_lm >= 0)
+        X = db.kp_xyz[cand_slot][jnp.clip(idx, 0, None)]
+        uv = db.kp_xy[kf_slot]
+        dbg["n_corr"] = max(dbg["n_corr"], int(corr_ok.sum()))
+        r = solve_pnp_ransac(jax.random.PRNGKey(frame_idx * 16 + c),
+                             sys.rig.left.K, X, uv, corr_ok,
+                             threshold=bcfg.loop_pnp_threshold, iters=128)
+        dbg["n_inliers"] = max(dbg["n_inliers"], int(r["n_inliers"]))
+        if int(r["n_inliers"]) >= bcfg.loop_min_inliers:
+            res = r
+            old_slot = cand_slot
+            break
+    if res is None:
         return False
-    old_slot = int(slots[0])
-    # descriptor match: current keyframe keypoints vs old keyframe keypoints
-    idx, dist, ok = match_descriptors(
-        db.kp_desc[kf_slot], db.kp_desc[old_slot],
-        db.kp_valid[kf_slot], db.kp_valid[old_slot],
-        max_distance=64, cross_check=True,
-    )
-    # 3D-2D: old keyframe's landmark for each matched pair vs current pixels
-    old_lm = db.kp_lm[old_slot][jnp.clip(idx, 0, None)]
-    corr_ok = ok & (old_lm >= 0) & sys.state.lmap.valid[jnp.clip(old_lm, 0, None)]
-    X = sys.state.lmap.xyz[jnp.clip(old_lm, 0, None)]
-    uv = db.kp_xy[kf_slot]
-    res = solve_pnp_ransac(jax.random.PRNGKey(frame_idx), sys.rig.left.K,
-                           X, uv, corr_ok, threshold=4.0, iters=128)
-    if int(res["n_inliers"]) < bcfg.loop_min_inliers:
-        return False
+    dbg["fired"] = True
+    dbg["matched_frame"] = int(db.frame_idx[old_slot])
     # edge: T_new_old measured = T_new_corrected ∘ T_old^-1
     Ri, ti = se3_inverse(db.R[old_slot], db.t[old_slot])
     Rm, tm = se3_compose(res["R"], res["t"], Ri, ti)
@@ -200,19 +260,35 @@ def _run_pose_graph(sys: SlamSystem):
                                        res["R"][slot], res["t"][slot])
 
 
-def process_frame(sys: SlamSystem, img_l, img_r):
-    """One frame through the full system. Returns telemetry (+ backend info)."""
-    sys.state, tel = slam_step(sys.cfg, sys.rig, sys.state, img_l, img_r)
-    backend_info = {"ba": None, "loop": False}
+def process_frame(sys: SlamSystem, img_l, img_r, imu=None):
+    """One frame through the full system. Returns telemetry (+ backend info).
+
+    imu: optional (gyro (S,3), accel (S,3), dts (S,), mask (S,)) — the IMU
+    interval ending at this frame; enables the VIO branch of the front-end
+    (preintegrated prediction + gravity/velocity estimation,
+    ≡ `slam_thread.cpp:126-132, 221-235`)."""
+    import time as _time
+
+    t0 = _time.time()
+    sys.state, tel = slam_step(sys.cfg, sys.rig, sys.state, img_l, img_r,
+                               imu=imu)
+    jax.block_until_ready(tel.t_cw)
+    t1 = _time.time()
+    backend_info = {"ba": None, "loop": False,
+                    "step_ms": (t1 - t0) * 1000, "backend_ms": 0.0}
     if bool(tel.is_keyframe):
         feats = sys.state.features
         prev_slot = sys.last_kf_slot
         slot = int(sys.kf_db.next_slot)
+        lm_clip = jnp.clip(feats.lm_idx, 0, None)
         sys.kf_db = kf_db_add(
             sys.kf_db, sys.state.R_cw, sys.state.t_cw,
             feats.xy, feats.lm_idx, feats.valid & (feats.lm_idx >= 0),
             feats.desc, int(sys.state.frame_idx) - 1,
             kp_uvr=feats.uv_r, kp_stereo=feats.stereo_ok,
+            kp_lm_gen=jnp.where(feats.lm_idx >= 0,
+                                sys.state.lmap.generation[lm_clip], -1),
+            kp_xyz=sys.state.lmap.xyz[lm_clip],
         )
         sys.last_kf_slot = slot
         # odometry edge between consecutive keyframes
@@ -230,21 +306,32 @@ def process_frame(sys: SlamSystem, img_l, img_r):
         # loop closure (config[3])
         if sys.bcfg.enable_loop_closure:
             if sys.vocab is None:
-                # train the vocabulary on the first keyframe's descriptors
+                # bootstrap vocabulary from the first keyframe's descriptors…
                 sys.vocab = build_vocabulary(
                     jax.random.PRNGKey(7), feats.desc, feats.valid,
                     n_words=sys.bcfg.bow_words, iters=6,
                 )
+            elif (not sys.vocab_retrained
+                  and int(sys.kf_db.valid.sum()) >= sys.bcfg.vocab_retrain_kfs):
+                # …then retrain over the accumulated keyframe corpus once
+                # enough views exist (one view is a poor quantizer)
+                _retrain_vocab(sys)
             frame_idx = int(sys.state.frame_idx) - 1
             backend_info["loop"] = _try_loop_closure(sys, slot, frame_idx)
+        jax.block_until_ready(sys.state.t_cw)
+        backend_info["backend_ms"] = (_time.time() - t1) * 1000
     return tel, backend_info
 
 
-def run_system(sys: SlamSystem, left, right):
-    """Run a (T, H, W) stereo sequence through the full system."""
+def run_system(sys: SlamSystem, left, right, imu=None):
+    """Run a (T, H, W) stereo sequence through the full system.
+
+    imu: optional (gyro (T,S,3), accel (T,S,3), dts (T,S), mask (T,S))."""
     tels, infos = [], []
     for t in range(left.shape[0]):
-        tel, info = process_frame(sys, jnp.asarray(left[t]), jnp.asarray(right[t]))
+        fi = None if imu is None else tuple(jnp.asarray(x[t]) for x in imu)
+        tel, info = process_frame(sys, jnp.asarray(left[t]),
+                                  jnp.asarray(right[t]), imu=fi)
         tels.append(tel)
         infos.append(info)
     telem = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *tels)
