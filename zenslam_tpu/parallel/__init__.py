@@ -3,3 +3,13 @@ from zenslam_tpu.parallel.dist_ba import (
     dist_bundle_adjust,
     make_ba_mesh,
 )
+from zenslam_tpu.parallel.multihost import (
+    init_multihost,
+    global_ba_mesh,
+    distribute_ba_problem,
+    gather_landmarks,
+)
+from zenslam_tpu.parallel.offline import (
+    run_offline_chunks,
+    split_chunks,
+)
