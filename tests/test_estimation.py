@@ -204,8 +204,50 @@ class TestCascade:
             dummyX, dummyX, jnp.zeros(8, bool),
             R_pred, t_pred,
         )
-        assert not bool(est.ok) and int(est.method) == 3
+        assert not bool(est.ok) and int(est.method) == 4
         np.testing.assert_allclose(np.asarray(est.t), np.asarray(t_pred))
+
+    def test_essential_2d2d_rescues_starved_frame(self, rng):
+        """PnP (both cams) and rigid starved; the 2D-2D essential fallback
+        with median-norm scale recovery must produce the metric pose
+        (cascade method 3 ≡ `point_estimator.cpp:233-296`)."""
+        rig = make_test_rig()
+        cam = rig.left
+        n = 128
+        X_prev_cam = np.stack([
+            rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
+            rng.uniform(4, 12, n)], -1).astype(np.float32)
+        # relative motion prev -> cur with REAL translation magnitude
+        R_cp = so3_exp(jnp.asarray([0.02, -0.04, 0.01], dtype=jnp.float32))
+        t_cp = jnp.asarray([0.25, 0.05, -0.1], dtype=jnp.float32)
+        Xp = jnp.asarray(X_prev_cam)
+        pa = project(cam, Xp)
+        pb = project(cam, se3_apply(R_cp, t_cp, Xp))
+        pa = pa + jnp.asarray(rng.normal(0, 0.2, (n, 2)).astype(np.float32))
+        pb = pb + jnp.asarray(rng.normal(0, 0.2, (n, 2)).astype(np.float32))
+        # previous world->cam pose (non-trivial)
+        R_prev = so3_exp(jnp.asarray([0.1, 0.2, -0.05], dtype=jnp.float32))
+        t_prev = jnp.asarray([0.3, -0.1, 0.4], dtype=jnp.float32)
+        # only half the tracks carry a prior landmark (scale samples)
+        has3d = jnp.arange(n) % 2 == 0
+        dummyX = jnp.zeros((8, 3)); dummyU = jnp.zeros((8, 2))
+        est = estimate_pose_cascade(
+            jax.random.PRNGKey(0), rig,
+            dummyX, dummyU, jnp.zeros(8, bool),
+            dummyX, dummyU, jnp.zeros(8, bool),
+            dummyX, dummyX, jnp.zeros(8, bool),
+            R_prev, t_prev,
+            p2a=pa, p2b=pb, valid2=jnp.ones(n, bool),
+            X2_prev_cam=Xp, has3d2=has3d,
+            R_prev=R_prev, t_prev=t_prev,
+        )
+        assert bool(est.ok) and int(est.method) == 3
+        # expected T_cur_w = T_cur_prev ∘ T_prev_w
+        from zenslam_tpu.geometry.lie import se3_compose
+        R_gt, t_gt = se3_compose(R_cp, t_cp, R_prev, t_prev)
+        assert float(rotation_angle(est.R @ R_gt.T)) < 0.01
+        np.testing.assert_allclose(np.asarray(est.t), np.asarray(t_gt),
+                                   atol=0.05)
 
 
 class TestFusion:

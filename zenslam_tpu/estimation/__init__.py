@@ -7,6 +7,7 @@ from zenslam_tpu.estimation.epipolar import (
     solve_fundamental_ransac,
     solve_essential_ransac,
     recover_pose_from_essential,
+    estimate_2d2d_scaled,
 )
 from zenslam_tpu.estimation.cascade import estimate_pose_cascade, PoseEstimate
 from zenslam_tpu.estimation.fusion import fuse_poses, PoseCandidate

@@ -6,7 +6,11 @@ Parity target: `estimator::estimate_pose_new` (`utils/estimator.cpp:249-318`):
      (`estimator.cpp:272-276`)
   3. fallback: 3D-3D rigid RANSAC between current-frame triangulations and
      map landmarks (`estimator.cpp:283-314`)
-  4. total failure: caller substitutes the predicted pose
+  4. fallback: 2D-2D essential + recoverPose with median-norm METRIC SCALE
+     from prior landmarks (`point_estimator.cpp:233-296` — the reference's
+     third estimator family; rescues feature-poor frames where both PnP and
+     rigid starve but temporal 2D tracks survive)
+  5. total failure: caller substitutes the predicted pose
      (`slam_thread.cpp:157-166` graceful degradation)
 
 TPU shape: the reference's exception-driven cascade becomes three always-run
@@ -25,6 +29,7 @@ import jax.numpy as jnp
 
 from zenslam_tpu.estimation.pnp import solve_pnp_ransac
 from zenslam_tpu.estimation.rigid import solve_rigid_ransac
+from zenslam_tpu.estimation.epipolar import estimate_2d2d_scaled
 from zenslam_tpu.geometry.camera import StereoRig
 from zenslam_tpu.geometry.lie import se3_compose, se3_inverse, so3_orthonormalize
 
@@ -35,11 +40,13 @@ class PoseEstimate(NamedTuple):
     ok: jnp.ndarray         # () bool
     n_inliers: jnp.ndarray  # () int32
     mean_err: jnp.ndarray   # () float32
-    method: jnp.ndarray     # () int32: 0=pnp_cam0, 1=pnp_cam1, 2=rigid3d3d, 3=fallback
+    method: jnp.ndarray     # () int32: 0=pnp_cam0, 1=pnp_cam1, 2=rigid3d3d,
+                            #           3=essential2d2d, 4=fallback
     inliers0: jnp.ndarray   # (N,) bool — inlier mask of the cam0 correspondences
 
 
-@functools.partial(jax.jit, static_argnames=("pnp_iters", "rigid_iters"))
+@functools.partial(jax.jit, static_argnames=(
+    "pnp_iters", "rigid_iters", "essential_iters"))
 def estimate_pose_cascade(
     key,
     rig: StereoRig,
@@ -52,11 +59,18 @@ def estimate_pose_cascade(
     src3d, dst3d, valid3d,
     # fallback pose (prediction) if everything fails
     R_pred, t_pred,
+    # 2D-2D temporal matches (prev/current pixels of the same tracks) +
+    # prior landmark positions in the PREVIOUS camera frame for scale
+    # recovery; None disables the essential fallback (method 3)
+    p2a=None, p2b=None, valid2=None, X2_prev_cam=None, has3d2=None,
+    R_prev=None, t_prev=None,
     pnp_threshold: float = 3.0,
     rigid_threshold: float = 0.05,
+    essential_threshold: float = 1.5,
     min_inliers: int = 4,
     pnp_iters: int = 256,
     rigid_iters: int = 256,
+    essential_iters: int = 128,
 ):
     """Returns the left-camera pose T_cam0_world as a PoseEstimate."""
     k0, k1, k2 = jax.random.split(key, 3)
@@ -91,9 +105,18 @@ def estimate_pose_cascade(
     r2 = solve_rigid_ransac(k2, src3d, dst3d, valid3d,
                             threshold=rigid_threshold, iters=rigid_iters)
 
+    use_2d2d = p2a is not None
+    if use_2d2d:
+        k3 = jax.random.fold_in(key, 3)
+        r3 = estimate_2d2d_scaled(
+            k3, rig.left.K, p2a, p2b, valid2, X2_prev_cam, has3d2,
+            R_prev, t_prev, threshold=essential_threshold,
+            iters=essential_iters)
+
     ok0 = r0["ok"] & (r0["n_inliers"] >= min_inliers)
     ok1 = r1["ok"] & (r1["n_inliers"] >= min_inliers)
     ok2 = r2["ok"] & (r2["n_inliers"] >= jnp.maximum(min_inliers, 3))
+    ok3 = r3["ok"] if use_2d2d else jnp.asarray(False)
 
     # cam1 pose -> cam0 pose: T_c0_w = T_rl^-1 ∘ T_c1_w  (`estimator.cpp:272-276`)
     Rlr, tlr = se3_inverse(rig.R_rl, rig.t_rl)
@@ -105,16 +128,29 @@ def estimate_pose_cascade(
     Rc, tc = se3_inverse(r2["R"], r2["t"])
     R2c0, t2c0 = se3_compose(R_pred, t_pred, Rc, tc)
 
-    def pick(field0, field1, field2, fallback):
-        return jnp.where(ok0, field0, jnp.where(ok1, field1, jnp.where(ok2, field2, fallback)))
+    if use_2d2d:
+        R3, t3 = r3["R"], r3["t"]
+        n3 = r3["n_inliers"]
+        e3 = r3["mean_err"]
+    else:
+        R3, t3 = R_pred, t_pred
+        n3 = jnp.asarray(0)
+        e3 = jnp.asarray(jnp.inf, jnp.float32)
+
+    def pick(f0, f1, f2, f3, fallback):
+        return jnp.where(ok0, f0, jnp.where(ok1, f1, jnp.where(
+            ok2, f2, jnp.where(ok3, f3, fallback))))
 
     # re-orthonormalize: downstream motion-model composes use R^T as the
     # inverse, which squares any f32 orthogonality drift every frame
-    R = so3_orthonormalize(pick(r0["R"], R1c0, R2c0, R_pred))
-    t = pick(r0["t"], t1c0, t2c0, t_pred)
-    method = jnp.where(ok0, 0, jnp.where(ok1, 1, jnp.where(ok2, 2, 3))).astype(jnp.int32)
-    ok = ok0 | ok1 | ok2
-    n_inl = pick(r0["n_inliers"], r1["n_inliers"], r2["n_inliers"], jnp.asarray(0))
-    mean_err = pick(r0["mean_err"], r1["mean_err"], r2["mean_err"], jnp.asarray(jnp.inf, jnp.float32))
+    R = so3_orthonormalize(pick(r0["R"], R1c0, R2c0, R3, R_pred))
+    t = pick(r0["t"], t1c0, t2c0, t3, t_pred)
+    method = jnp.where(ok0, 0, jnp.where(ok1, 1, jnp.where(
+        ok2, 2, jnp.where(ok3, 3, 4)))).astype(jnp.int32)
+    ok = ok0 | ok1 | ok2 | ok3
+    n_inl = pick(r0["n_inliers"], r1["n_inliers"], r2["n_inliers"], n3,
+                 jnp.asarray(0))
+    mean_err = pick(r0["mean_err"], r1["mean_err"], r2["mean_err"], e3,
+                    jnp.asarray(jnp.inf, jnp.float32))
     return PoseEstimate(R=R, t=t, ok=ok, n_inliers=n_inl, mean_err=mean_err,
                         method=method, inliers0=r0["inliers"])

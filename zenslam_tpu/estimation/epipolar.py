@@ -39,6 +39,25 @@ def _hartley_normalize(pts, w=None):
     return T
 
 
+def _smallest_eigvec_9(ATA, iters: int = 6):
+    """Smallest eigenvector of a 9x9 PSD normal matrix via shifted inverse
+    iteration (one Cholesky + triangular solves) — same scheme and rationale
+    as `estimation/pnp.py:_smallest_eigvec_12`: the DLT null vector is well
+    separated, and the batched LAPACK Eigh custom call dominates the vmapped
+    RANSAC hypothesis batch (~2 ms/frame with 128 hypotheses)."""
+    tr = jnp.trace(ATA)
+    scale = jnp.maximum(tr / 9.0, 1e-20)
+    A = ATA / scale + 1e-5 * jnp.eye(9, dtype=ATA.dtype)
+    chol = jax.scipy.linalg.cho_factor(A, lower=True)
+    v = jnp.full((9,), 1.0 / 3.0, ATA.dtype)
+
+    def it(_, v):
+        z = jax.scipy.linalg.cho_solve(chol, v)
+        return z / jnp.maximum(jnp.linalg.norm(z), 1e-30)
+
+    return jax.lax.fori_loop(0, iters, it, v)
+
+
 def _eight_point(pa, pb, w=None, enforce_essential: bool = False):
     """8-point algorithm on (n,2)+(n,2) -> 3x3 F (or E with (1,1,0) spectrum)."""
     n = pa.shape[0]
@@ -59,8 +78,7 @@ def _eight_point(pa, pb, w=None, enforce_essential: bool = False):
         axis=-1,
     ) * w[:, None]
     ATA = A.T @ A
-    _, vecs = jnp.linalg.eigh(ATA)
-    F = vecs[:, 0].reshape(3, 3)
+    F = _smallest_eigvec_9(ATA).reshape(3, 3)
     # rank-2 (or essential) projection
     U, S, Vt = jnp.linalg.svd(F)
     if enforce_essential:
@@ -150,6 +168,77 @@ def solve_essential_ransac(key, K, pa, pb, valid, threshold: float = 1.0, iters:
     E = jnp.where(better, E, E0)
     inliers = jnp.where(better, inl, inl0)
     return {"E": E, "inliers": inliers, "n_inliers": jnp.sum(inliers), "ok": jnp.sum(inliers) >= 8}
+
+
+def _masked_median(x, mask):
+    """Median over masked entries (sorted with +inf padding)."""
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    big = jnp.where(mask, x, jnp.inf)
+    srt = jnp.sort(big)
+    mid = jnp.clip((n_valid - 1) // 2, 0, x.shape[0] - 1)
+    mid2 = jnp.clip(n_valid // 2, 0, x.shape[0] - 1)
+    return 0.5 * (srt[mid] + srt[mid2])
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def estimate_2d2d_scaled(
+    key, K,
+    pa, pb, valid,          # temporal 2D-2D matches: prev / current pixels
+    X_prev_cam, has3d,      # prior landmark positions in the PREV CAMERA frame
+    R_prev, t_prev,         # previous world->cam pose
+    threshold: float = 1.5,
+    iters: int = 256,
+    min_inliers: int = 12,
+    min_scale_samples: int = 5,
+):
+    """2D-2D pose with METRIC SCALE from prior landmarks — the reference's
+    third estimator family (`point_estimator.cpp:233-296`):
+
+      essential RANSAC on the temporal matches → recoverPose (unit ||t||) →
+      triangulate matches in the prev frame at unit scale → scale = median
+      over points with known prior 3D of ||X_prior|| / ||X_unit|| →
+      T_cur_w = (R, s·t) ∘ T_prev_w.
+
+    Returns dict(R, t (world->cur-cam), ok, n_inliers, scale, mean_err).
+    """
+    res = solve_essential_ransac(key, K, pa, pb, valid,
+                                 threshold=threshold, iters=iters)
+    R_cp, t_unit, n_good = recover_pose_from_essential(
+        res["E"], K, pa, pb, res["inliers"])
+
+    eye3 = jnp.eye(3, dtype=pa.dtype)
+    zero3 = jnp.zeros(3, dtype=pa.dtype)
+    X_unit = triangulate_dlt(K, eye3, zero3, K, R_cp, t_unit, pa, pb)
+    z_a = X_unit[:, 2]
+    z_b = (X_unit @ R_cp.T + t_unit)[:, 2]
+    cheir = (z_a > 1e-3) & (z_b > 1e-3) & (jnp.abs(z_a) < 100.0)
+    scale_ok = res["inliers"] & cheir & has3d
+    # median-norm scale recovery (`point_estimator.cpp:233-257`)
+    nu = jnp.linalg.norm(X_unit, axis=-1)
+    np_ = jnp.linalg.norm(X_prev_cam, axis=-1)
+    ratio = np_ / jnp.maximum(nu, 1e-9)
+    scale = _masked_median(ratio, scale_ok)
+    n_scale = jnp.sum(scale_ok.astype(jnp.int32))
+
+    t_cp = scale * t_unit
+    # T_cur_w = T_cur_prev ∘ T_prev_w
+    R_cw = R_cp @ R_prev
+    t_cw = R_cp @ t_prev + t_cp
+    ok = (res["ok"]
+          & (res["n_inliers"] >= min_inliers)
+          & (n_good >= min_inliers)
+          & (n_scale >= min_scale_samples)
+          & jnp.isfinite(scale) & (scale > 1e-3) & (scale < 1e3))
+    # Sampson error of inliers in pixels as the quality metric
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    na = jnp.stack([(pa[:, 0] - cx) / fx, (pa[:, 1] - cy) / fy], -1)
+    nb = jnp.stack([(pb[:, 0] - cx) / fx, (pb[:, 1] - cy) / fy], -1)
+    d = jnp.sqrt(_sampson_distance(res["E"], na, nb)) * (fx + fy) * 0.5
+    mean_err = (jnp.sum(jnp.where(res["inliers"], d, 0.0))
+                / jnp.maximum(res["n_inliers"], 1))
+    return {"R": R_cw, "t": t_cw, "ok": ok, "n_inliers": res["n_inliers"],
+            "scale": scale, "mean_err": mean_err, "inliers": res["inliers"]}
 
 
 @jax.jit

@@ -57,12 +57,17 @@ class SlamConfig(NamedTuple):
     max_depth: float = 50.0
     reprojection_threshold: float = 1.0
     min_disparity: float = 2.0
-    # pose estimation (`pnp_options`, `rigid_options`)
+    # pose estimation (`pnp_options`, `rigid_options`, `essential_options`)
     pnp_threshold: float = 3.0
     pnp_iters: int = 128
     rigid_threshold: float = 0.05
     rigid_iters: int = 128
     min_inliers: int = 4
+    # 2D-2D essential fallback with median-norm scale recovery
+    # (`point_estimator.cpp:233-296`) — cascade method 3
+    use_essential_fallback: bool = True
+    essential_threshold: float = 1.5
+    essential_iters: int = 128
     # keyframe   (`keyframe_options`)
     kf_min_frames: int = 5
     kf_max_frames: int = 30

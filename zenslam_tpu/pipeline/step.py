@@ -318,7 +318,10 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
         R_pred, t_pred = _vio_predict(rig, state, integral, R_pred, t_pred)
 
     # ---- TRACK (temporal) ---------------------------------------------------
+    prev_xy = state.features.xy          # 2D-2D pairs for the essential
+    prev_lm_idx = state.features.lm_idx  # fallback (method 3)
     feats, n_tracked = _temporal_track(cfg, rig, state, pyr_l, tsizes, R_pred, t_pred)
+    track2d_ok = feats.valid  # tracked-through slots, before detection top-up
     n_prev_valid = jnp.sum(state.features.valid)
     tracked_ratio = n_tracked / jnp.maximum(n_prev_valid, 1)
 
@@ -382,6 +385,20 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
         X0_est = jnp.concatenate([X0_est, Xl])
         uv0_est = jnp.concatenate([uv0_est, uvl])
         v0_est = jnp.concatenate([v0_est, vl])
+    # 2D-2D essential fallback inputs: temporal track pairs + prior landmark
+    # positions in the PREVIOUS camera frame (≡ point_estimator 2D-2D family)
+    ess_kwargs = {}
+    if cfg.use_essential_fallback:
+        prev_lm_xyz = state.lmap.xyz[jnp.clip(prev_lm_idx, 0, None)]
+        X2_prev_cam = se3_apply(state.R_cw, state.t_cw, prev_lm_xyz)
+        has3d2 = track2d_ok & (prev_lm_idx >= 0)
+        ess_kwargs = dict(
+            p2a=prev_xy, p2b=feats.xy, valid2=track2d_ok,
+            X2_prev_cam=X2_prev_cam, has3d2=has3d2,
+            R_prev=state.R_cw, t_prev=state.t_cw,
+            essential_threshold=cfg.essential_threshold,
+            essential_iters=cfg.essential_iters,
+        )
     est = estimate_pose_cascade(
         k_est, rig,
         X0_est, uv0_est, v0_est,
@@ -393,6 +410,7 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
         min_inliers=cfg.min_inliers,
         pnp_iters=cfg.pnp_iters,
         rigid_iters=cfg.rigid_iters,
+        **ess_kwargs,
     )
     R_cw, t_cw = est.R, est.t
 
