@@ -273,3 +273,87 @@ class TestBow:
         db = bow_db_add(db, h, 95)
         scores, frames, _ = bow_db_query(db, h, query_frame_idx=100, min_frame_gap=30)
         assert float(scores[0]) < 0.0  # own recent frame excluded
+
+
+def _big_ba_problem(K=64, M=32768, obs_per_lm=4, seed=0, perturb=0.02):
+    """Full-map-scale synthetic STEREO BA problem (BASELINE config[2] scale).
+    Stereo observations rigidify the graph like the live pipeline's BA —
+    a mono problem with few obs/landmark has near-flat trajectory-warp
+    valleys that landmarks absorb."""
+    from zenslam_tpu.backend.ba import make_ba_problem
+    rng = np.random.default_rng(seed)
+    fx = fy = 400.0
+    cx = cy = 256.0
+    baseline = np.array([-0.11, 0.0, 0.0], np.float32)
+    X = np.stack([rng.uniform(-4, 4, M), rng.uniform(-3, 3, M),
+                  rng.uniform(4, 12, M)], -1).astype(np.float32)
+    t_gt = np.stack([np.array([0.1 * k, 0.02 * (k % 3), 0], np.float32)
+                     for k in range(K)])
+    kf1 = rng.integers(0, K, (M, obs_per_lm)).astype(np.int32).reshape(-1)
+    lm1 = np.repeat(np.arange(M, dtype=np.int32), obs_per_lm)
+    xc = X[lm1] + t_gt[kf1]
+    uv_l = np.stack([fx * xc[:, 0] / xc[:, 2] + cx,
+                     fy * xc[:, 1] / xc[:, 2] + cy], -1)
+    xr = xc + baseline
+    uv_r = np.stack([fx * xr[:, 0] / xr[:, 2] + cx,
+                     fy * xr[:, 1] / xr[:, 2] + cy], -1)
+    kf = np.concatenate([kf1, kf1])
+    lm = np.concatenate([lm1, lm1])
+    uv = np.concatenate([uv_l, uv_r]).astype(np.float32)
+    cam = np.concatenate([np.zeros_like(kf1), np.ones_like(kf1)])
+    uv += rng.normal(0, 0.3, uv.shape).astype(np.float32)
+    O = kf.size
+    p = make_ba_problem(K, M, O, fx, fy, cx, cy,
+                        t_rl=jnp.asarray(baseline))
+    t_noise = rng.normal(0, perturb, t_gt.shape).astype(np.float32)
+    t_noise[:2] = 0.0  # gauge anchors (fixed KFs) stay at groundtruth
+    return p._replace(
+        t=jnp.asarray(t_gt + t_noise),
+        kf_valid=jnp.ones(K, bool),
+        kf_fixed=jnp.zeros(K, bool).at[0].set(True).at[1].set(True),
+        xyz=jnp.asarray(X + rng.normal(0, perturb, X.shape).astype(np.float32)),
+        lm_valid=jnp.ones(M, bool),
+        obs_kf=jnp.asarray(kf), obs_lm=jnp.asarray(lm),
+        obs_uv=jnp.asarray(uv), obs_cam=jnp.asarray(cam, np.int32),
+        obs_valid=jnp.ones(O, bool),
+    ), t_gt
+
+
+class TestBundleAdjustCG:
+    """Matrix-free CG Schur BA (BASELINE config[2] scale: K=64, M=32k,
+    O=128k — the dense path's (M,K,6,3) block tensor alone would be 151 MB)."""
+
+    def test_matches_dense_on_small_problem(self):
+        from zenslam_tpu.backend.ba import bundle_adjust, bundle_adjust_cg
+        p, _ = _big_ba_problem(K=8, M=256, obs_per_lm=6, seed=3)
+        rd = bundle_adjust(p, iterations=8)
+        rc = bundle_adjust_cg(p, iterations=8, cg_iters=60)
+        assert float(rc["rmse_after"]) < float(rd["rmse_after"]) * 1.2 + 1e-3
+        np.testing.assert_allclose(np.asarray(rc["t"]), np.asarray(rd["t"]),
+                                   atol=5e-3)
+
+    def test_full_map_scale_converges(self):
+        import time
+        from zenslam_tpu.backend.ba import bundle_adjust_cg
+        p, t_gt = _big_ba_problem(K=64, M=32768, obs_per_lm=4, seed=1)
+        t0 = time.time()
+        res = bundle_adjust_cg(p, iterations=8, cg_iters=40)
+        jax.block_until_ready(res["t"])
+        dt = time.time() - t0
+        rmse0, rmse1 = float(res["rmse_before"]), float(res["rmse_after"])
+        assert rmse1 < rmse0 * 0.2, (rmse0, rmse1)
+        # pose error vs GT drops below the 2 cm perturbation
+        err = np.linalg.norm(np.asarray(res["t"]) - t_gt, axis=-1)
+        assert float(np.median(err)) < 0.01
+        assert int(res["n_accepted"]) >= 4
+        print(f"full-map CG BA: K=64 M=32768 O=131072 rmse {rmse0:.2f}->"
+              f"{rmse1:.3f} in {dt:.1f}s (compile incl.)")
+
+    def test_motion_only_mode(self):
+        from zenslam_tpu.backend.ba import bundle_adjust_cg
+        p, _ = _big_ba_problem(K=8, M=512, obs_per_lm=6, seed=5, perturb=0.01)
+        res = bundle_adjust_cg(p, iterations=6, cg_iters=40,
+                               refine_landmarks=False)
+        np.testing.assert_array_equal(np.asarray(res["xyz"]),
+                                      np.asarray(p.xyz))
+        assert float(res["rmse_after"]) < float(res["rmse_before"])

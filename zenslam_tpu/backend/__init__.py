@@ -1,6 +1,7 @@
 from zenslam_tpu.backend.ba import (
     BAProblem,
     bundle_adjust,
+    bundle_adjust_cg,
     ba_cost,
     make_ba_problem,
 )

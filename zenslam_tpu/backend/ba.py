@@ -237,6 +237,175 @@ def _apply_gauge(S, rhs, free_mask6):
     return S, rhs
 
 
+def _obs_jacobians(p: BAProblem, R, t, xyz, huber_delta: float):
+    """Per-observation residuals + analytic Jacobians WITHOUT aggregating the
+    dense (M, K, 6, 3) off-diagonal block tensor — the memory wall of the
+    dense Schur path at full-map scale (K=64, M=32k → 151 MB for A alone).
+
+    Returns (r (O,2), w (O,), kf, lm, Jp (O,2,6), Jl (O,2,3))."""
+    K = R.shape[0]
+    M = xyz.shape[0]
+    r, w, good, xc, Rk, xc0, is_r, (fx, fy) = _residuals_and_weights(
+        p, R, t, xyz, huber_delta)
+    kf = jnp.clip(p.obs_kf, 0, K - 1)
+    lm = jnp.clip(p.obs_lm, 0, M - 1)
+    z = jnp.where(jnp.abs(xc[:, 2]) < 1e-3, 1e-3, xc[:, 2])
+    inv_z = 1.0 / z
+    x_, y_ = xc[:, 0], xc[:, 1]
+    zeros = jnp.zeros_like(z)
+    J_proj = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, zeros, -fx * x_ * inv_z * inv_z], -1),
+            jnp.stack([zeros, fy * inv_z, -fy * y_ * inv_z * inv_z], -1),
+        ],
+        axis=-2,
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), xc.shape[:1] + (3, 3))
+    C_chain = jnp.where(is_r[:, None, None], jnp.broadcast_to(p.R_rl, eye.shape), eye)
+    J_pose = C_chain @ jnp.concatenate([eye, -so3_hat(xc0)], axis=-1)
+    Jp = J_proj @ J_pose
+    Jl = J_proj @ (C_chain @ Rk)
+    return r, w, kf, lm, Jp, Jl
+
+
+def _inv6x6_chol(U):
+    """Batched (K,6,6) SPD inverse via Cholesky (Jacobi preconditioner)."""
+    L = jnp.linalg.cholesky(U + 1e-8 * jnp.eye(6, dtype=U.dtype)[None])
+    eye = jnp.broadcast_to(jnp.eye(6, dtype=U.dtype), U.shape)
+    return jax.vmap(lambda Lk, I: jax.scipy.linalg.cho_solve((Lk, True), I))(L, eye)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "cg_iters", "refine_landmarks"),
+)
+def bundle_adjust_cg(
+    p: BAProblem,
+    iterations: int = 10,
+    cg_iters: int = 40,
+    huber_delta: float = 1.0,
+    refine_landmarks: bool = True,
+    init_lambda: float = 1e-3,
+):
+    """MATRIX-FREE LM-Schur BA for large windows / full-map refinement
+    (BASELINE config[2]; SURVEY.md §7 risk "sparse Schur at scale").
+
+    The dense path (`bundle_adjust`) materializes the (M, K, 6, 3) W-block
+    tensor and a (6K, 6K) reduced system — fine for the 8-KF sliding window,
+    a memory/compute wall at K=64, M=32k, O=128k. Here the reduced camera
+    system S = U+λ − Wᵀ(V+λ)⁻¹W is applied as an OPERATOR: each S·v is two
+    observation-wise passes (scatter-adds over O) plus a batched 3x3 solve —
+    no W storage at all — and solved by Jacobi-(block-U⁻¹)-preconditioned
+    conjugate gradients. Landmark back-substitution is the same obs-pass.
+
+    Same contract as bundle_adjust (returns R/t/xyz/rmse/cost/n_accepted).
+    """
+    K = p.R.shape[0]
+    M = p.xyz.shape[0]
+    cost0, rmse0 = ba_cost(p, huber_delta=huber_delta)
+    free_kf = p.kf_valid & (~p.kf_fixed)
+    fmask = free_kf[:, None].astype(p.R.dtype)
+
+    def step(carry, _):
+        R, t, xyz, lam, cost = carry
+        r, w, kf, lm, Jp, Jl = _obs_jacobians(p, R, t, xyz, huber_delta)
+        Jp_w = Jp * w[:, None, None]
+        Jl_w = Jl * w[:, None, None]
+        U = jnp.zeros((K, 6, 6), R.dtype).at[kf].add(
+            jnp.einsum("oai,oaj->oij", Jp_w, Jp))
+        g_p = jnp.zeros((K, 6), R.dtype).at[kf].add(
+            -jnp.einsum("oai,oa->oi", Jp_w, r))
+        V = jnp.zeros((M, 3, 3), R.dtype).at[lm].add(
+            jnp.einsum("oai,oaj->oij", Jl_w, Jl))
+        g_l = jnp.zeros((M, 3), R.dtype).at[lm].add(
+            -jnp.einsum("oai,oa->oi", Jl_w, r))
+        lm_active = p.lm_valid if refine_landmarks else jnp.zeros_like(p.lm_valid)
+        Vd = V + lam * jnp.eye(3, dtype=V.dtype)[None]
+        Vd = jnp.where(lm_active[:, None, None], Vd, jnp.eye(3, dtype=V.dtype)[None])
+        Vinv = _inv3x3(Vd)
+        Ud = U + lam * jnp.eye(6, dtype=U.dtype)[None]
+
+        def lm_pass(v_pose):
+            """(K,6) -> (M,3): u = V⁻¹ Σ_obs Jlᵀ w Jp v  (one obs pass)."""
+            Jpv = jnp.einsum("oab,ob->oa", Jp, v_pose[kf])
+            s = jnp.zeros((M, 3), R.dtype).at[lm].add(
+                jnp.einsum("oab,oa->ob", Jl_w, Jpv))
+            return jnp.einsum("mbc,mc->mb", Vinv, s) * lm_active[:, None]
+
+        def off_to_pose(u_lm):
+            """(M,3) -> (K,6): Σ_obs Jpᵀ w Jl u  (one obs pass)."""
+            Jlu = jnp.einsum("oab,ob->oa", Jl, u_lm[lm])
+            return jnp.zeros((K, 6), R.dtype).at[kf].add(
+                jnp.einsum("oab,oa->ob", Jp_w, Jlu))
+
+        def S_matvec(v):
+            v = v * fmask
+            y = jnp.einsum("kab,kb->ka", Ud, v) - off_to_pose(lm_pass(v))
+            # identity on fixed/invalid rows keeps CG well-posed
+            return jnp.where(fmask > 0, y, v)
+
+        # rhs = g_p − Wᵀ V⁻¹ g_l (observation-wise)
+        b_lm = jnp.einsum("mbc,mc->mb", Vinv, g_l) * lm_active[:, None]
+        rhs = (g_p - off_to_pose(b_lm)) * fmask
+
+        # Jacobi (block-diag U⁻¹) preconditioned CG
+        Minv = _inv6x6_chol(Ud)
+        precon = lambda x: jnp.einsum("kab,kb->ka", Minv, x) * fmask
+
+        def cg_body(_, st):
+            x, rr, z, pdir, rz = st
+            Ap = S_matvec(pdir)
+            denom = jnp.sum(pdir * Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+            x = x + alpha * pdir
+            rr = rr - alpha * Ap
+            z = precon(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            pdir = z + beta * pdir
+            return x, rr, z, pdir, rz_new
+
+        x0 = jnp.zeros((K, 6), R.dtype)
+        z0 = precon(rhs)
+        st = (x0, rhs, z0, z0, jnp.sum(rhs * z0))
+        x, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, st)
+        d_pose = jnp.where(jnp.isfinite(x), x, 0.0) * fmask
+
+        # landmark back-substitution: dX = V⁻¹ (g_l − Σ Jlᵀ w Jp d_pose)
+        if refine_landmarks:
+            Jpd = jnp.einsum("oab,ob->oa", Jp, d_pose[kf])
+            s = jnp.zeros((M, 3), R.dtype).at[lm].add(
+                jnp.einsum("oab,oa->ob", Jl_w, Jpd))
+            d_lm = jnp.einsum("mbc,mc->mb", Vinv, g_l - s) * lm_active[:, None]
+        else:
+            d_lm = jnp.zeros_like(xyz)
+
+        dR = so3_exp(d_pose[:, 3:])
+        R_new = dR @ R
+        t_new = jnp.einsum("kij,kj->ki", dR, t) + d_pose[:, :3]
+        xyz_new = xyz + d_lm
+        new_cost, _ = ba_cost(p, R_new, t_new, xyz_new, huber_delta)
+        accept = new_cost < cost
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        xyz = jnp.where(accept, xyz_new, xyz)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
+                        jnp.minimum(lam * 4.0, 1e3))
+        return (R, t, xyz, lam, cost), accept
+
+    (R, t, xyz, lam, cost), accepts = jax.lax.scan(
+        step, (p.R, p.t, p.xyz, jnp.float32(init_lambda), cost0),
+        None, length=iterations)
+    _, rmse1 = ba_cost(p, R, t, xyz, huber_delta=huber_delta)
+    return {
+        "R": R, "t": t, "xyz": xyz,
+        "rmse_before": rmse0, "rmse_after": rmse1,
+        "cost_before": cost0, "cost_after": cost,
+        "n_accepted": jnp.sum(accepts.astype(jnp.int32)),
+    }
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "refine_landmarks", "trim_threshold"),

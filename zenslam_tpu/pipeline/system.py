@@ -31,7 +31,7 @@ from zenslam_tpu.pipeline.step import slam_step
 from zenslam_tpu.backend.keyframes import (
     KeyframeDB, kf_db_init, kf_db_add, ba_problem_from_db, recent_mask,
 )
-from zenslam_tpu.backend.ba import bundle_adjust
+from zenslam_tpu.backend.ba import bundle_adjust, bundle_adjust_cg
 from zenslam_tpu.backend.pose_graph import PoseGraph, optimize_pose_graph
 from zenslam_tpu.backend.bow import (
     BowDatabase,
@@ -47,6 +47,10 @@ class BackendConfig:
     ba_window: int = 8              # config[1]: 8-keyframe sliding window
     ba_iterations: int = 10
     ba_every_kf: bool = True
+    # reduced-camera-system solver: "dense" (Cholesky, small windows),
+    # "cg" (matrix-free, full-map scale), "auto" = cg when the keyframe
+    # capacity exceeds 16 (the dense path materializes (M, K, 6, 3) blocks)
+    ba_solver: str = "auto"
     # loop closure
     enable_loop_closure: bool = True
     bow_words: int = 128
@@ -120,7 +124,13 @@ def _run_windowed_ba(sys: SlamSystem):
         sys.rig, window_mask=window,
         lmap_generation=sys.state.lmap.generation,
     )
-    res = bundle_adjust(p, iterations=sys.bcfg.ba_iterations)
+    use_cg = (sys.bcfg.ba_solver == "cg"
+              or (sys.bcfg.ba_solver == "auto"
+                  and sys.bcfg.max_keyframes > 16))
+    if use_cg:
+        res = bundle_adjust_cg(p, iterations=sys.bcfg.ba_iterations)
+    else:
+        res = bundle_adjust(p, iterations=sys.bcfg.ba_iterations)
     slot = sys.last_kf_slot
     R_old = sys.kf_db.R[slot]
     t_old = sys.kf_db.t[slot]
