@@ -1,0 +1,102 @@
+"""Full-dress end-to-end regression (VERDICT r1 item 8): one command that
+reproduces the headline numbers from a cold checkout.
+
+  python e2e_fulldress.py [--frames 300] [--root /tmp/zs_fulldress]
+
+Renders a 1024x1024, N-frame DISTORTED-rig stereo sequence with IMU on the
+device, exports it as an EuRoC-style folder dataset + Kalibr camchain YAML,
+then runs the real application (`zenslam_tpu.app`) on it: native prefetch
+reader → rectification path → VIO front-end → keyframe backend (windowed CG
+BA + loop machinery) → telemetry/trajectory/ATE. Prints the ATE/fps summary
+and exits nonzero if the regression bounds fail.
+"""
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_dataset(root: str, n_frames: int, width=1024, height=1024):
+    from zenslam_tpu.io.synthetic import (
+        make_sequence, distort_sequence, export_dataset, write_kalibr_yaml)
+
+    dist = [-0.12, 0.035, 0.0006, -0.0004]  # mild radtan, TUM-VI-ish
+    t0 = time.time()
+    seq = make_sequence(np.random.default_rng(11), n_frames=n_frames,
+                        width=width, height=height, motion="arc", speed=0.5,
+                        with_imu=True, device_render=True)
+    raw = distort_sequence(seq, dist)
+    print(f"rendered+distorted {n_frames} frames in {time.time()-t0:.1f}s")
+    t0 = time.time()
+    export_dataset(raw, root)
+    write_kalibr_yaml(raw, dist, os.path.join(root, "camchain.yaml"))
+    print(f"exported dataset to {root} in {time.time()-t0:.1f}s")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--root", default="/tmp/zs_fulldress")
+    ap.add_argument("--ate-bound-mm", type=float, default=100.0)
+    ap.add_argument("--fps-floor", type=float, default=25.0)
+    args = ap.parse_args(argv)
+
+    marker = os.path.join(args.root, f".built_{args.frames}")
+    if not os.path.exists(marker):
+        build_dataset(args.root, args.frames)
+        open(marker, "w").write("ok")
+
+    import yaml
+
+    out = os.path.join(args.root, "output")
+    opts = {
+        "folder": {
+            "root": args.root,
+            "output": out,
+            "calibration_file": os.path.join(args.root, "camchain.yaml"),
+            "groundtruth_file": os.path.join(args.root, "groundtruth.csv"),
+        },
+        "slam": {},
+        "backend": {"ba_every_kf": True, "enable_loop_closure": True},
+    }
+    opts_path = os.path.join(args.root, "options.yaml")
+    with open(opts_path, "w") as f:
+        yaml.safe_dump(opts, f)
+
+    from zenslam_tpu.app import main as app_main
+
+    rc = app_main(["--options-file", opts_path])
+    assert rc == 0
+
+    # regression bounds from the telemetry the app wrote
+    rows = list(csv.DictReader(open(os.path.join(out, "frame_data.csv"))))
+    steps = np.asarray([float(r["duration_step_ms"]) for r in rows])
+    steady = np.median(steps[10:])
+    fps = 1000.0 / steady
+    # ATE recomputed exactly as the app printed it
+    from zenslam_tpu.io.dataset import Groundtruth
+    from zenslam_tpu.eval.metrics import ate_rmse
+
+    gt = Groundtruth(os.path.join(args.root, "groundtruth.csv"))
+    est, gtp = [], []
+    traj = np.loadtxt(os.path.join(out, "trajectory.csv"), delimiter=",",
+                      comments="#")
+    for row in traj:
+        est.append(row[1:4])
+        _, p = gt.pose_at(row[0])
+        gtp.append(p)
+    ate_mm = ate_rmse(np.asarray(est), np.asarray(gtp)) * 1000
+    print(f"\nFULL-DRESS: {len(rows)} frames, steady front-end "
+          f"{steady:.1f} ms/frame ({fps:.1f} fps), ATE {ate_mm:.1f} mm")
+    ok = ate_mm < args.ate_bound_mm and fps > args.fps_floor
+    print("PASS" if ok else
+          f"FAIL (bounds: ATE<{args.ate_bound_mm}mm, fps>{args.fps_floor})")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -126,3 +126,77 @@ class TestEvalMetrics:
         gt = np.stack([np.linspace(0, 1, 11), np.zeros(11), np.zeros(11)], -1)
         est = np.stack([np.linspace(0, 1.2, 11), np.zeros(11), np.zeros(11)], -1)
         assert rpe_rmse(est, gt) > 0.01
+
+
+class TestTemporalRematch:
+    """≡ match_temporal (`matching_utils.cpp:441-563`): descriptor recovery
+    of KLT-lost landmark tracks under the epipolar gate of the predicted
+    relative motion — fires where the map-radius association cannot (the
+    epipolar constraint is a 1-D band; the radius gate needs the projection
+    to land within 20 px)."""
+
+    def test_epipolar_gated_transfer(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from zenslam_tpu.io.synthetic import default_rig
+        from zenslam_tpu.pipeline.state import SlamConfig, empty_features, empty_landmarks
+        from zenslam_tpu.pipeline.step import _temporal_rematch
+
+        cfg = SlamConfig(max_keypoints=64, max_landmarks=256)
+        rig = default_rig(320, 240)
+        rng = np.random.default_rng(2)
+        n = 64
+        prev_xy = jnp.asarray(
+            np.stack([rng.uniform(60, 260, n), rng.uniform(40, 200, n)], -1),
+            jnp.float32)
+        desc = jnp.asarray(rng.integers(0, 2**32, (n, 8), dtype=np.uint32))
+        prev_lm = jnp.arange(n, dtype=jnp.int32)
+        prev_valid = jnp.ones(n, bool)
+        track_ok = jnp.zeros(n, bool)  # every track died
+
+        # pure-x relative translation: epipolar lines are horizontal rows.
+        # current keypoints shifted 40 px along x (WAY outside the radius
+        # gate) keep y — they sit exactly on their epipolar lines.
+        feats = empty_features(cfg)
+        shift = jnp.asarray([40.0, 0.0], jnp.float32)
+        feats = feats._replace(
+            xy=prev_xy + shift, desc=desc,
+            valid=jnp.ones(n, bool), lm_idx=jnp.full(n, -1, jnp.int32))
+        lmap = empty_landmarks(cfg)
+        lmap = lmap._replace(valid=lmap.valid.at[:n].set(True))
+
+        R_prev = jnp.eye(3); t_prev = jnp.zeros(3)
+        R_pred = jnp.eye(3); t_pred = jnp.asarray([-0.1, 0.0, 0.0], jnp.float32)
+        out, n_hit = _temporal_rematch(
+            cfg, rig, feats, desc, prev_xy, prev_lm, prev_valid, track_ok,
+            R_prev, t_prev, R_pred, t_pred, lmap)
+        assert int(n_hit) >= n - 4
+        hit = np.asarray(out.lm_idx[:n])
+        assert (hit == np.arange(n)).mean() > 0.9
+
+        # violating the epipolar constraint (shift in y) must NOT transfer
+        feats_bad = feats._replace(xy=prev_xy + jnp.asarray([0.0, 25.0]))
+        out2, n_hit2 = _temporal_rematch(
+            cfg, rig, feats_bad, desc, prev_xy, prev_lm, prev_valid, track_ok,
+            R_prev, t_prev, R_pred, t_pred, lmap)
+        assert int(n_hit2) <= 2
+
+    def test_integration_not_worse_after_blank_frame(self):
+        import numpy as np
+        from zenslam_tpu.io.synthetic import make_sequence
+        from zenslam_tpu.pipeline import SlamConfig, run_sequence
+        from zenslam_tpu.eval.metrics import ate_rmse, camera_positions
+
+        seq = make_sequence(np.random.default_rng(9), n_frames=10,
+                            motion="strafe", speed=0.25, width=320, height=240)
+        left = seq.left.copy(); right = seq.right.copy()
+        left[5] = 0.5; right[5] = 0.5
+        gt = camera_positions(seq.R_lw, seq.t_lw)
+
+        def run(flag):
+            cfg = SlamConfig(max_keypoints=256, max_landmarks=4096,
+                             use_temporal_rematch=flag)
+            st, tel = run_sequence(cfg, seq.rig, left, right)
+            return ate_rmse(camera_positions(tel.R_cw, tel.t_cw), gt)
+
+        assert run(True) <= run(False) * 1.2 + 1e-4

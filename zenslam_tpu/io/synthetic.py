@@ -451,6 +451,61 @@ def make_sequence(
     )
 
 
+def distort_sequence(seq: "SyntheticSequence", dist, model: str = "radtan"
+                     ) -> "SyntheticSequence":
+    """Produce the RAW (lens-distorted) version of an ideal pinhole-rendered
+    sequence: RAW(p_d) = Ideal(K·undistort(K⁻¹·p_d)). Feeding these through
+    the calibration/rectification path must reproduce the ideal geometry —
+    the full-dress end-to-end exercise of `calibration.cpp:33-240`."""
+    from zenslam_tpu.geometry.camera import (
+        undistort_points_radtan, undistort_points_equidistant)
+    from zenslam_tpu.ops.image import remap
+
+    cam = seq.rig.left
+    H, W = seq.left.shape[1:]
+    u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                       np.arange(H, dtype=np.float32))
+    nd = np.stack([(u - float(cam.cx)) / float(cam.fx),
+                   (v - float(cam.cy)) / float(cam.fy)], -1).reshape(-1, 2)
+    undist = (undistort_points_radtan if model == "radtan"
+              else undistort_points_equidistant)
+    nu = np.asarray(undist(jnp.asarray(dist, jnp.float32), jnp.asarray(nd)))
+    mx = (nu[:, 0] * float(cam.fx) + float(cam.cx)).reshape(H, W)
+    my = (nu[:, 1] * float(cam.fy) + float(cam.cy)).reshape(H, W)
+    mxj, myj = jnp.asarray(mx), jnp.asarray(my)
+    lefts = np.stack([np.asarray(remap(jnp.asarray(f), mxj, myj))
+                      for f in seq.left])
+    rights = np.stack([np.asarray(remap(jnp.asarray(f), mxj, myj))
+                       for f in seq.right])
+    return seq._replace(left=lefts, right=rights)
+
+
+def write_kalibr_yaml(seq: "SyntheticSequence", dist, path: str,
+                      model: str = "radtan") -> None:
+    """Emit a Kalibr camchain YAML describing the (distorted) synthetic rig
+    — consumed by `io.calibration.load_kalibr_yaml` in the app."""
+    import yaml
+
+    cam = seq.rig.left
+    H, W = seq.left.shape[1:]
+    T_rl = np.eye(4)
+    T_rl[:3, :3] = np.asarray(seq.rig.R_rl)
+    T_rl[:3, 3] = np.asarray(seq.rig.t_rl)
+    entry = {
+        "camera_model": "pinhole",
+        "intrinsics": [float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy)],
+        "distortion_model": model,
+        "distortion_coeffs": [float(x) for x in dist],
+        "resolution": [int(W), int(H)],
+    }
+    d = {
+        "cam0": dict(entry, T_cam_imu=np.eye(4).tolist()),
+        "cam1": dict(entry, T_cn_cnm1=T_rl.tolist()),
+    }
+    with open(path, "w") as f:
+        yaml.safe_dump(d, f)
+
+
 def write_png_gray(path: str, img: np.ndarray) -> None:
     """Minimal grayscale PNG writer (zlib): 8/16-bit, filter 0."""
     import struct

@@ -51,6 +51,12 @@ class SlamConfig(NamedTuple):
     fb_threshold: float = 1.0
     epipolar_threshold: float = 2.0
     landmark_match_distance: int = 64  # hamming
+    # temporal descriptor re-acquisition (`matching_utils.cpp:441-563`
+    # match_temporal): when KLT loses a landmark-bearing track, its previous
+    # descriptor is matched against the current detections under an
+    # essential-matrix (epipolar) gate from the predicted relative pose
+    use_temporal_rematch: bool = True
+    temporal_match_epipolar: float = 3.0
     # triangulation (`triangulation_options` defaults: min_disparity 2.0,
     # reprojection 1.0, depth [1, 50])
     min_depth: float = 0.5
@@ -191,12 +197,19 @@ def init_vio(gravity_capacity: int = 64) -> VioState:
 
 
 class MotionModel(NamedTuple):
-    """Constant-velocity model ≡ `motion_predictor.cpp:5-38` (EMA-smoothed
-    relative motion), applied on the left-camera pose T_cam_world."""
+    """Constant-ACCELERATION kinematic model with EMA smoothing
+    ≡ `motion_predictor.cpp:5-38`: velocity/acceleration in the relative-pose
+    delta space (translation + Rodrigues angular), each update averaging the
+    new observation with the running estimate ((new + old)/2, the reference's
+    EMA), prediction = vel + ½·acc per frame. With acc == 0 this degenerates
+    to the constant-velocity model. Applied on the left-camera pose T_cw as
+    a LEFT delta: T_pred = Δ ∘ T_cw."""
 
-    R_rel: jnp.ndarray  # (3,3) last relative rotation  T_cur_prev
-    t_rel: jnp.ndarray  # (3,)
-    initialized: jnp.ndarray  # () bool
+    vel: jnp.ndarray      # (3,)  translational delta / frame
+    acc: jnp.ndarray      # (3,)
+    vel_ang: jnp.ndarray  # (3,)  axis-angle delta / frame
+    acc_ang: jnp.ndarray  # (3,)
+    n_updates: jnp.ndarray  # () int32 — prediction engages after the first
 
 
 class SlamState(NamedTuple):
@@ -318,9 +331,11 @@ def init_state(cfg: SlamConfig, image_shape, seed: int = 0) -> SlamState:
         R_cw=jnp.eye(3, dtype=jnp.float32),
         t_cw=jnp.zeros(3, jnp.float32),
         motion=MotionModel(
-            R_rel=jnp.eye(3, dtype=jnp.float32),
-            t_rel=jnp.zeros(3, jnp.float32),
-            initialized=jnp.asarray(False),
+            vel=jnp.zeros(3, jnp.float32),
+            acc=jnp.zeros(3, jnp.float32),
+            vel_ang=jnp.zeros(3, jnp.float32),
+            acc_ang=jnp.zeros(3, jnp.float32),
+            n_updates=jnp.asarray(0, jnp.int32),
         ),
         last_kf_R=jnp.eye(3, dtype=jnp.float32),
         last_kf_t=jnp.zeros(3, jnp.float32),

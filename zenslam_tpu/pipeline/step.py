@@ -55,16 +55,26 @@ from zenslam_tpu.pipeline.state import (
     FeatureTable,
     FrameTelemetry,
     VioState,
+    MotionModel,
     resolve_use_pallas,
     pyramid_dtype,
 )
 
 
 def _predict_pose(state: SlamState):
-    """Constant-velocity prediction ≡ `motion_predictor.cpp:5-14`."""
-    R_pred, t_pred = se3_compose(state.motion.R_rel, state.motion.t_rel, state.R_cw, state.t_cw)
-    R_pred = jnp.where(state.motion.initialized, R_pred, state.R_cw)
-    t_pred = jnp.where(state.motion.initialized, t_pred, state.t_cw)
+    """Constant-acceleration prediction ≡ `motion_predictor.cpp:5-14`:
+    Δt = vel + ½·acc, ΔR = exp(vel_ang + ½·acc_ang) (per-frame dt)."""
+    from zenslam_tpu.geometry.lie import so3_exp
+
+    mm = state.motion
+    # acceleration engages only once TWO pose transitions exist
+    use_acc = (mm.n_updates >= 2).astype(jnp.float32)
+    t_rel = mm.vel + 0.5 * use_acc * mm.acc
+    R_rel = so3_exp(mm.vel_ang + 0.5 * use_acc * mm.acc_ang)
+    R_pred, t_pred = se3_compose(R_rel, t_rel, state.R_cw, state.t_cw)
+    ok = mm.n_updates >= 1
+    R_pred = jnp.where(ok, R_pred, state.R_cw)
+    t_pred = jnp.where(ok, t_pred, state.t_cw)
     return R_pred, t_pred
 
 
@@ -190,6 +200,45 @@ def _associate_landmarks(cfg: SlamConfig, rig: StereoRig, feats: FeatureTable, l
     )
     new_lm_idx = jnp.where(ok & free_kp, idx, feats.lm_idx)
     return feats._replace(lm_idx=new_lm_idx), jnp.sum(ok & free_kp)
+
+
+def _temporal_rematch(cfg: SlamConfig, rig: StereoRig, feats: FeatureTable,
+                      prev_desc, prev_xy, prev_lm_idx, prev_valid, track2d_ok,
+                      R_prev, t_prev, R_pred, t_pred, lmap):
+    """Descriptor-based temporal re-acquisition ≡ `match_temporal`
+    (`matching_utils.cpp:441-563`): previous-frame keypoints whose KLT track
+    DIED but which carried a landmark are matched by descriptor against the
+    current landmark-less keypoints, gated by the epipolar constraint of the
+    predicted relative motion. A hit transfers the landmark index — the
+    track re-acquires without waiting for the map-radius association."""
+    from zenslam_tpu.geometry.lie import so3_hat
+    from zenslam_tpu.ops.match import epipolar_gate
+
+    N = feats.xy.shape[0]
+    lost = prev_valid & (prev_lm_idx >= 0) & (~track2d_ok)
+    # landmarks already re-attached (e.g. by map association) are off-limits
+    attached = jnp.zeros(lmap.valid.shape[0], bool).at[
+        jnp.where(feats.valid & (feats.lm_idx >= 0), feats.lm_idx,
+                  lmap.valid.shape[0])
+    ].set(True, mode="drop")
+    lost = lost & (~attached[jnp.clip(prev_lm_idx, 0, None)])
+    free = feats.valid & (feats.lm_idx < 0)
+    # essential of the predicted relative motion T_cur_prev = T_pred ∘ T_prev⁻¹
+    Rpi, tpi = se3_inverse(R_prev, t_prev)
+    R_rel, t_rel = se3_compose(R_pred, t_pred, Rpi, tpi)
+    E = so3_hat(t_rel) @ R_rel
+    Kinv = jnp.linalg.inv(rig.left.K)
+    F = Kinv.T @ E @ Kinv
+    gate = epipolar_gate(F, prev_xy, feats.xy, cfg.temporal_match_epipolar)
+    idx, dist, ok = match_descriptors(
+        prev_desc, feats.desc, lost, free,
+        max_distance=cfg.landmark_match_distance, cross_check=True,
+        gate_mask=gate,
+    )
+    tgt = jnp.where(ok, idx, N)
+    new_lm = feats.lm_idx.at[tgt].set(
+        jnp.where(ok, prev_lm_idx, -1), mode="drop")
+    return feats._replace(lm_idx=new_lm), jnp.sum(ok)
 
 
 def _body_pose_world(rig: StereoRig, R_cw, t_cw):
@@ -319,7 +368,9 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
 
     # ---- TRACK (temporal) ---------------------------------------------------
     prev_xy = state.features.xy          # 2D-2D pairs for the essential
-    prev_lm_idx = state.features.lm_idx  # fallback (method 3)
+    prev_lm_idx = state.features.lm_idx  # fallback + temporal rematch
+    prev_desc = state.features.desc
+    prev_feat_valid = state.features.valid
     feats, n_tracked = _temporal_track(cfg, rig, state, pyr_l, tsizes, R_pred, t_pred)
     track2d_ok = feats.valid  # tracked-through slots, before detection top-up
     n_prev_valid = jnp.sum(state.features.valid)
@@ -334,6 +385,12 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
 
     # ---- ASSOCIATE lost landmarks ------------------------------------------
     feats, n_assoc = _associate_landmarks(cfg, rig, feats, state.lmap, R_pred, t_pred)
+
+    # ---- TEMPORAL REMATCH (KLT-loss recovery via descriptors) ---------------
+    if cfg.use_temporal_rematch:
+        feats, n_rematch = _temporal_rematch(
+            cfg, rig, feats, prev_desc, prev_xy, prev_lm_idx, prev_feat_valid,
+            track2d_ok, state.R_cw, state.t_cw, R_pred, t_pred, state.lmap)
 
     # ---- STEREO + TRIANGULATE ----------------------------------------------
     feats, X_cam, tri_ok = _stereo_and_triangulate(cfg, rig, pyr_l, pyr_r, tsizes, feats, F_rig)
@@ -472,11 +529,23 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
     last_kf_t = jnp.where(is_kf, t_cw, state.last_kf_t)
     frames_since_kf = jnp.where(is_kf, 0, state.frames_since_kf + 1)
 
-    # ---- MOTION UPDATE ------------------------------------------------------
+    # ---- MOTION UPDATE (≡ motion_predictor::update, EMA (new+old)/2) --------
+    from zenslam_tpu.geometry.lie import so3_log
+
     Rpi, tpi = se3_inverse(state.R_cw, state.t_cw)
     R_rel, t_rel = se3_compose(R_cw, t_cw, Rpi, tpi)
-    motion = state.motion._replace(
-        R_rel=R_rel, t_rel=t_rel, initialized=jnp.asarray(True),
+    mm = state.motion
+    vel_obs = t_rel
+    ang_obs = so3_log(R_rel)
+    acc_obs = vel_obs - mm.vel
+    acc_ang_obs = ang_obs - mm.vel_ang
+    first = mm.n_updates == 0
+    motion = MotionModel(
+        vel=jnp.where(first, vel_obs, 0.5 * (vel_obs + mm.vel)),
+        vel_ang=jnp.where(first, ang_obs, 0.5 * (ang_obs + mm.vel_ang)),
+        acc=jnp.where(first, mm.acc, 0.5 * (acc_obs + mm.acc)),
+        acc_ang=jnp.where(first, mm.acc_ang, 0.5 * (acc_ang_obs + mm.acc_ang)),
+        n_updates=mm.n_updates + 1,
     )
     vio = state.vio
     if imu is not None:
