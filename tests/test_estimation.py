@@ -250,6 +250,47 @@ class TestCascade:
                                    atol=0.05)
 
 
+class TestFusedCascade:
+    def test_fused_cascade_accurate_on_pnp(self, rng):
+        """fuse=True (≡ wiring `pose_fusion.cpp:154-288` into the live
+        cascade) must not degrade the clean single-method case."""
+        rig = make_test_rig()
+        cam, K, X, R, t, uv = scene(rng, n=128, noise=0.3)
+        dummyX = jnp.zeros((16, 3))
+        dummyU = jnp.zeros((16, 2))
+        est = estimate_pose_cascade(
+            jax.random.PRNGKey(0), rig,
+            X, uv, jnp.ones(128, bool),
+            dummyX, dummyU, jnp.zeros(16, bool),
+            dummyX, dummyX, jnp.zeros(16, bool),
+            jnp.eye(3), jnp.zeros(3),
+            fuse=True,
+        )
+        assert bool(est.ok) and int(est.method) == 0
+        assert float(rotation_angle(est.R @ R.T)) < 0.01
+        np.testing.assert_allclose(np.asarray(est.t), np.asarray(t), atol=0.03)
+
+    def test_fused_cascade_blends_two_methods(self, rng):
+        """When PnP and rigid BOTH succeed, the fused translation must sit
+        within the candidate spread and stay near ground truth."""
+        rig = make_test_rig()
+        cam, K, X, R, t, uv = scene(rng, n=128, noise=0.3)
+        # 3D-3D: world points under GT correction (identity correction since
+        # src was produced with the predicted pose == GT here)
+        src = np.asarray(X) + np.random.default_rng(5).normal(0, 0.003, X.shape).astype(np.float32)
+        est = estimate_pose_cascade(
+            jax.random.PRNGKey(0), rig,
+            X, uv, jnp.ones(128, bool),
+            jnp.zeros((16, 3)), jnp.zeros((16, 2)), jnp.zeros(16, bool),
+            jnp.asarray(src), X, jnp.ones(128, bool),
+            R, t,  # prediction == GT, so the rigid branch corrects ~identity
+            fuse=True,
+        )
+        assert bool(est.ok)
+        np.testing.assert_allclose(np.asarray(est.t), np.asarray(t), atol=0.05)
+        assert float(rotation_angle(est.R @ R.T)) < 0.02
+
+
 class TestFusion:
     def test_weighted_fusion_tracks_best(self):
         R_good = so3_exp(jnp.asarray([0.0, 0.0, 0.1], dtype=jnp.float32))

@@ -141,6 +141,9 @@ def main(argv=None):
     wall = time.time() - t_start
     print(f"\nprocessed {n} frames in {wall:.1f}s "
           f"({n / max(wall, 1e-9):.1f} fps, steady {np.median(times):.1f} ms/frame)")
+    if n:
+        from zenslam_tpu.utils import format_pose  # ≡ formatters.h pose log
+        print(f"final pose: {format_pose(R, t)}")
     if system is not None:
         print(f"keyframes: {int(system.kf_db.valid.sum())}, "
               f"BA runs: {system.n_ba_runs}, loop closures: {system.n_loop_closures}")

@@ -46,7 +46,7 @@ class PoseEstimate(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "pnp_iters", "rigid_iters", "essential_iters"))
+    "pnp_iters", "rigid_iters", "essential_iters", "fuse"))
 def estimate_pose_cascade(
     key,
     rig: StereoRig,
@@ -71,6 +71,7 @@ def estimate_pose_cascade(
     pnp_iters: int = 256,
     rigid_iters: int = 256,
     essential_iters: int = 128,
+    fuse: bool = False,
 ):
     """Returns the left-camera pose T_cam0_world as a PoseEstimate."""
     k0, k1, k2 = jax.random.split(key, 3)
@@ -145,6 +146,36 @@ def estimate_pose_cascade(
     # inverse, which squares any f32 orthogonality drift every frame
     R = so3_orthonormalize(pick(r0["R"], R1c0, R2c0, R3, R_pred))
     t = pick(r0["t"], t1c0, t2c0, t3, t_pred)
+    if fuse:
+        # first-class pose fusion across the successful methods
+        # (≡ `pose_fusion::fuse_poses`, `pose_fusion.cpp:154-288`: weighted
+        # translation consensus, winner rotation). The reference computes but
+        # never wires this; here it replaces the pure priority pick when ≥1
+        # method succeeds.
+        from zenslam_tpu.estimation.fusion import PoseCandidate, fuse_poses
+
+        f32 = jnp.float32
+        def ratio(n, v):
+            return (n / jnp.maximum(jnp.sum(v), 1)).astype(f32)
+
+        n2v = valid2 if use_2d2d else jnp.zeros((1,), bool)
+        cands = PoseCandidate(
+            R=jnp.stack([r0["R"], R1c0, R2c0, R3]),
+            t=jnp.stack([r0["t"], t1c0, t2c0, t3]),
+            inlier_ratio=jnp.stack([
+                ratio(r0["n_inliers"], valid0), ratio(r1["n_inliers"], valid1),
+                ratio(r2["n_inliers"], valid3d), ratio(n3, n2v)]),
+            mean_err=jnp.stack([r0["mean_err"], r1["mean_err"],
+                                r2["mean_err"], e3]).astype(f32),
+            n_inliers=jnp.stack([r0["n_inliers"], r1["n_inliers"],
+                                 r2["n_inliers"], n3]),
+            is_line=jnp.zeros((4,), bool),
+            valid=jnp.stack([ok0, ok1, ok2, ok3]),
+        )
+        R_f, t_f, conf, _cov = fuse_poses(cands)
+        any_ok = ok0 | ok1 | ok2 | ok3
+        R = jnp.where(any_ok, so3_orthonormalize(R_f), R)
+        t = jnp.where(any_ok, t_f, t)
     method = jnp.where(ok0, 0, jnp.where(ok1, 1, jnp.where(
         ok2, 2, jnp.where(ok3, 3, 4)))).astype(jnp.int32)
     ok = ok0 | ok1 | ok2 | ok3

@@ -51,6 +51,11 @@ class SlamConfig(NamedTuple):
     fb_threshold: float = 1.0
     epipolar_threshold: float = 2.0
     landmark_match_distance: int = 64  # hamming
+    # landmark association frustum cull (≡ `is_in_frustum`
+    # `matching_utils.cpp:106-130` + 50 m map search radius
+    # `tracking_options.h:14`)
+    landmark_search_radius: float = 50.0
+    frustum_margin: float = 20.0
     # temporal descriptor re-acquisition (`matching_utils.cpp:441-563`
     # match_temporal): when KLT loses a landmark-bearing track, its previous
     # descriptor is matched against the current detections under an
@@ -74,6 +79,10 @@ class SlamConfig(NamedTuple):
     use_essential_fallback: bool = True
     essential_threshold: float = 1.5
     essential_iters: int = 128
+    # confidence-weighted fusion across the cascade's successful methods
+    # (≡ `pose_fusion.cpp:154-288`; the reference computes this only in
+    # tests — here it is a first-class cascade mode)
+    use_pose_fusion: bool = False
     # keyframe   (`keyframe_options`)
     kf_min_frames: int = 5
     kf_max_frames: int = 30

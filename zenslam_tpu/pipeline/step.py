@@ -185,12 +185,21 @@ def _associate_landmarks(cfg: SlamConfig, rig: StereoRig, feats: FeatureTable, l
     # project all landmarks with the predicted pose
     xc = se3_apply(R_pred, t_pred, lmap.xyz)
     proj = project(rig.left, xc)
-    in_front = xc[:, 2] > 0.1
+    # full frustum cull ≡ `is_in_frustum` (`matching_utils.cpp:106-130`):
+    # cheirality, projection inside the image (with margin), and the map
+    # search-radius cap (`tracking_options.h:14`, 50 m)
+    in_frustum = (xc[:, 2] > 0.1) & (
+        jnp.linalg.norm(xc, axis=-1) < cfg.landmark_search_radius)
+    if rig.left.width > 0 and rig.left.height > 0:
+        m = float(cfg.frustum_margin)
+        in_frustum = in_frustum & (
+            (proj[:, 0] >= -m) & (proj[:, 0] < rig.left.width + m)
+            & (proj[:, 1] >= -m) & (proj[:, 1] < rig.left.height + m))
     # landmarks already attached to a live track are not re-assignable
     attached = jnp.zeros(lmap.valid.shape[0], bool).at[
         jnp.where(feats.valid & (feats.lm_idx >= 0), feats.lm_idx, lmap.valid.shape[0])
     ].set(True, mode="drop")
-    assignable = lmap.valid & in_front & (~attached)
+    assignable = lmap.valid & in_frustum & (~attached)
     free_kp = feats.valid & (feats.lm_idx < 0)
     gate = radius_gate(feats.xy, proj, 20.0)
     idx, dist, ok = match_descriptors(
@@ -467,6 +476,7 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
         min_inliers=cfg.min_inliers,
         pnp_iters=cfg.pnp_iters,
         rigid_iters=cfg.rigid_iters,
+        fuse=cfg.use_pose_fusion,
         **ess_kwargs,
     )
     R_cw, t_cw = est.R, est.t
