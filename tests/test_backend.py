@@ -106,6 +106,24 @@ class TestBundleAdjustment:
         lm_err = np.linalg.norm(np.asarray(res["xyz"][:500]) - X_gt, axis=-1)
         assert np.median(lm_err) < 0.02
 
+    def test_dense_vs_cg_agree_on_window(self, rng):
+        """Dense Schur and matrix-free CG land on the same optimum for a
+        well-posed 8-KF window (dense co-observation, two fixed KFs pinning
+        gauge + scale) — the agreement assert that the monocular BAL subsets
+        can't support (internal gauge islands)."""
+        from zenslam_tpu.backend.ba import bundle_adjust_cg
+
+        p, R_gt, t_gt, X_gt = synth_ba_problem(rng, n_kf=8, n_lm=120, K_cap=8,
+                                               M_cap=128, pose_noise=0.03,
+                                               n_fixed=2)
+        dense = bundle_adjust(p, iterations=15)
+        cg = bundle_adjust_cg(p, iterations=15, cg_iters=80)
+        assert float(dense["rmse_after"]) < 0.02
+        assert float(cg["rmse_after"]) < 0.02
+        for k in range(2, 8):
+            assert np.linalg.norm(np.asarray(dense["t"][k])
+                                  - np.asarray(cg["t"][k])) < 2e-3
+
     def test_motion_only_landmarks_untouched(self, rng):
         """≡ motion-only test (`zenslam_tests.cpp:591-690`): landmarks
         bit-exact unchanged while pose improves."""

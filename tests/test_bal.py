@@ -3,11 +3,13 @@
 Reproduces the reference's BAL-subset LBA cases (`zenslam_tests.cpp:109-285`,
 cases `:692-722`): load a BAL text problem, carve out a dense co-observation
 core, synthesize observations from GT, perturb poses, run motion-only BA, and
-assert residual count / RMSE drop / translation-error drop. The reference's
-checked-in BAL blobs were stripped from its repo; we generate a same-shape
-BAL-format file on the fly (`make_synthetic_bal`) and round-trip it through
-the text format so the parser is exercised exactly as on the real files.
+assert residual count / RMSE drop / translation-error drop. Runs against BOTH
+a fast synthetic BAL file (parser round-trip) and the reference's REAL
+checked-in BAL problems (`zenslam_tests/data/bal/problem-{21-11315,49-7776}-
+pre.txt`), for the dense-Schur and matrix-free-CG solvers.
 """
+
+import os
 
 import numpy as np
 import pytest
@@ -15,6 +17,9 @@ import pytest
 from zenslam_tpu.io.bal import (
     BalData, bal_subset_ba_problem, load_bal, make_synthetic_bal, save_bal,
 )
+
+REAL_BAL_DIR = "/root/reference/zenslam_tests/data/bal"
+REAL_BAL_FILES = ["problem-21-11315-pre.txt", "problem-49-7776-pre.txt"]
 
 
 @pytest.fixture(scope="module")
@@ -93,6 +98,76 @@ def test_bal_subset_motion_only_ba(bal_file):
     # landmarks must be bit-identical in motion-only mode
     # (≡ the 1e-12 margin assert in `zenslam_tests.cpp:591-690`)
     np.testing.assert_array_equal(np.asarray(res["xyz"]), np.asarray(p.xyz))
+
+
+@pytest.mark.parametrize("fname", REAL_BAL_FILES)
+@pytest.mark.parametrize("solver", ["dense", "cg"])
+def test_real_bal_subset_motion_only(fname, solver):
+    """The reference's real BAL fixtures (`zenslam_tests.cpp:692-722`, data
+    checked into its repo) through BOTH Schur solvers: ≤8 cams / ≤600 pts /
+    ≤3000 obs, min-co-observation filters, σ=0.02 pose perturbation, 2 fixed
+    KFs, >1000 residuals, RMSE + translation error must drop
+    (`zenslam_tests.cpp:279-284`)."""
+    from zenslam_tpu.backend.ba import bundle_adjust, bundle_adjust_cg
+
+    path = os.path.join(REAL_BAL_DIR, fname)
+    if not os.path.exists(path):
+        pytest.skip(f"reference BAL data not mounted: {path}")
+    bal = load_bal(path)
+    p, info = bal_subset_ba_problem(bal)
+    assert info["expected_residuals"] > 1000
+    assert len(info["used_cameras"]) >= 2
+
+    free = ~info["kf_fixed"]
+    err_before = np.linalg.norm(
+        np.asarray(p.t)[free] - info["t_gt"][free], axis=-1).sum()
+
+    if solver == "dense":
+        res = bundle_adjust(p, iterations=12, huber_delta=1.0,
+                            refine_landmarks=False)
+    else:
+        res = bundle_adjust_cg(p, iterations=12, cg_iters=40, huber_delta=1.0,
+                               refine_landmarks=False)
+
+    err_after = np.linalg.norm(
+        np.asarray(res["t"])[free] - info["t_gt"][free], axis=-1).sum()
+    assert float(res["rmse_after"]) < float(res["rmse_before"])
+    assert err_after < err_before
+    np.testing.assert_array_equal(np.asarray(res["xyz"]), np.asarray(p.xyz))
+
+
+@pytest.mark.parametrize("fname", REAL_BAL_FILES)
+def test_real_bal_full_ba(fname):
+    """Full BA (landmarks free) on a real BAL subset with perturbed
+    landmarks: both solvers must drive reprojection RMSE down hard, and the
+    dense solver must recover the GT translations. (The two solvers are NOT
+    asserted to agree here: the monocular subset has landmark islands seen
+    only by free cameras, i.e. a near-exact internal gauge family — solver
+    agreement is asserted on the well-posed stereo window instead,
+    tests/test_backend.py::test_dense_vs_cg_agree_on_window.)"""
+    import jax.numpy as jnp
+
+    from zenslam_tpu.backend.ba import bundle_adjust, bundle_adjust_cg
+
+    path = os.path.join(REAL_BAL_DIR, fname)
+    if not os.path.exists(path):
+        pytest.skip(f"reference BAL data not mounted: {path}")
+    bal = load_bal(path)
+    p, info = bal_subset_ba_problem(bal)
+    rng = np.random.default_rng(11)
+    p = p._replace(xyz=p.xyz + jnp.asarray(
+        rng.normal(0, 0.01, p.xyz.shape).astype(np.float32)))
+
+    dense = bundle_adjust(p, iterations=15, huber_delta=1.0,
+                          refine_landmarks=True)
+    cg = bundle_adjust_cg(p, iterations=15, cg_iters=60, huber_delta=1.0,
+                          refine_landmarks=True)
+    assert float(dense["rmse_after"]) < 0.1 * float(dense["rmse_before"])
+    assert float(cg["rmse_after"]) < 0.1 * float(cg["rmse_before"])
+    free = ~info["kf_fixed"]
+    t_err = np.linalg.norm(
+        np.asarray(dense["t"])[free] - info["t_gt"][free], axis=-1).mean()
+    assert t_err < 0.05
 
 
 def test_bal_subset_full_ba(bal_file):

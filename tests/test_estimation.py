@@ -306,7 +306,8 @@ class TestFusion:
             is_line=jnp.asarray([False, False]),
             valid=jnp.asarray([True, True]),
         )
-        R, t, conf, cov = fuse_poses(cands)
+        R, t, conf, cov, best = fuse_poses(cands)
+        assert int(best) == 0
         assert float(rotation_angle(R @ R_good.T)) < 1e-5
         assert np.linalg.norm(np.asarray(t) - np.asarray(t_good)) < 0.5
         assert float(conf) > 0.3
@@ -324,8 +325,52 @@ class TestFusion:
             is_line=jnp.asarray([False, False]),
             valid=jnp.asarray([True, False]),
         )
-        _, t_f, conf, _ = fuse_poses(cands)
+        _, t_f, conf, _, _ = fuse_poses(cands)
         np.testing.assert_allclose(np.asarray(t_f), 0.0, atol=1e-5)
+
+    def test_nan_invalid_candidate_does_not_poison(self):
+        """A FAILED solver can emit NaN R/t/err; weight 0 alone is not
+        enough (0·NaN = NaN). The fused pose must stay finite and track the
+        valid candidate (ADVICE r2: cascade.py:162)."""
+        cands = PoseCandidate(
+            R=jnp.stack([jnp.eye(3), jnp.full((3, 3), jnp.nan)]),
+            t=jnp.stack([jnp.ones(3), jnp.full(3, jnp.nan)]),
+            inlier_ratio=jnp.asarray([0.9, 0.0]),
+            mean_err=jnp.asarray([0.5, jnp.nan]),
+            n_inliers=jnp.asarray([80, 0]),
+            is_line=jnp.asarray([False, False]),
+            valid=jnp.asarray([True, False]),
+        )
+        R, t, conf, _, best = fuse_poses(cands)
+        assert np.all(np.isfinite(np.asarray(t)))
+        assert np.all(np.isfinite(np.asarray(R)))
+        np.testing.assert_allclose(np.asarray(t), 1.0, atol=1e-5)
+        assert int(best) == 0
+
+    def test_mixed_unit_err_scales(self):
+        """Per-candidate err_scale vector: a meters-unit candidate with
+        mean_err 0.05 m under scale 0.1 must not be over-weighted against a
+        pixel-unit candidate at 1.0 px under scale 3.0 (ADVICE r2:
+        cascade.py:168)."""
+        t_px = jnp.asarray([1.0, 0.0, 0.0])
+        t_m = jnp.asarray([1.3, 0.0, 0.0])
+        cands = PoseCandidate(
+            R=jnp.stack([jnp.eye(3)] * 2),
+            t=jnp.stack([t_px, t_m]),
+            inlier_ratio=jnp.asarray([0.8, 0.8]),
+            mean_err=jnp.asarray([1.0, 0.05]),   # px vs m — same quality-ish
+            n_inliers=jnp.asarray([60, 60]),
+            is_line=jnp.asarray([False, False]),
+            valid=jnp.asarray([True, True]),
+        )
+        # scalar scale 2.0: the 0.05 'err' looks near-perfect -> pulled to t_m
+        _, t_scalar, _, _, _ = fuse_poses(cands)
+        # per-method scales: comparable weights -> blend sits between
+        _, t_vec, _, _, _ = fuse_poses(
+            cands, err_scale=jnp.asarray([3.0, 0.1], jnp.float32))
+        d_scalar = abs(float(t_scalar[0]) - 1.3)
+        d_vec = abs(float(t_vec[0]) - 1.3)
+        assert d_vec > d_scalar  # vector scales stop the 3D-3D over-weighting
 
 
 class TestEigensolvers:

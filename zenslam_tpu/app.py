@@ -143,7 +143,9 @@ def main(argv=None):
           f"({n / max(wall, 1e-9):.1f} fps, steady {np.median(times):.1f} ms/frame)")
     if n:
         from zenslam_tpu.utils import format_pose  # ≡ formatters.h pose log
-        print(f"final pose: {format_pose(R, t)}")
+        # print the camera-in-world pose (what the trajectory file logs),
+        # not T_cam_world whose t is easily misread as the camera position
+        print(f"final pose (camera in world): {format_pose(R.T, -R.T @ t)}")
     if system is not None:
         print(f"keyframes: {int(system.kf_db.valid.sum())}, "
               f"BA runs: {system.n_ba_runs}, loop closures: {system.n_loop_closures}")

@@ -159,20 +159,33 @@ def estimate_pose_cascade(
             return (n / jnp.maximum(jnp.sum(v), 1)).astype(f32)
 
         n2v = valid2 if use_2d2d else jnp.zeros((1,), bool)
+        oks = jnp.stack([ok0, ok1, ok2, ok3])
+        # sanitize: a FAILED solver may emit NaN R/t (degenerate hypotheses);
+        # its weight is 0 but 0*NaN = NaN would poison the fused translation.
+        t_stack = jnp.stack([r0["t"], t1c0, t2c0, t3])
+        t_stack = jnp.where(oks[:, None], t_stack, t_pred[None, :])
+        R_stack = jnp.stack([r0["R"], R1c0, R2c0, R3])
+        R_stack = jnp.where(oks[:, None, None], R_stack, R_pred[None])
+        e_stack = jnp.stack([r0["mean_err"], r1["mean_err"],
+                             r2["mean_err"], e3]).astype(f32)
+        n_stack = jnp.stack([r0["n_inliers"], r1["n_inliers"],
+                             r2["n_inliers"], n3])
         cands = PoseCandidate(
-            R=jnp.stack([r0["R"], R1c0, R2c0, R3]),
-            t=jnp.stack([r0["t"], t1c0, t2c0, t3]),
+            R=R_stack,
+            t=t_stack,
             inlier_ratio=jnp.stack([
                 ratio(r0["n_inliers"], valid0), ratio(r1["n_inliers"], valid1),
                 ratio(r2["n_inliers"], valid3d), ratio(n3, n2v)]),
-            mean_err=jnp.stack([r0["mean_err"], r1["mean_err"],
-                                r2["mean_err"], e3]).astype(f32),
-            n_inliers=jnp.stack([r0["n_inliers"], r1["n_inliers"],
-                                 r2["n_inliers"], n3]),
+            mean_err=e_stack,
+            n_inliers=n_stack,
             is_line=jnp.zeros((4,), bool),
-            valid=jnp.stack([ok0, ok1, ok2, ok3]),
+            valid=oks,
         )
-        R_f, t_f, conf, _cov = fuse_poses(cands)
+        # per-method error scales ≡ the reference's compute_weight
+        # (`pose_fusion.cpp:11-61`): 0.1 m for the 3D-3D rigid candidate
+        # (meters), 3.0 px for the pixel-residual methods.
+        err_scales = jnp.array([3.0, 3.0, 0.1, 3.0], jnp.float32)
+        R_f, t_f, conf, _cov, best = fuse_poses(cands, err_scale=err_scales)
         any_ok = ok0 | ok1 | ok2 | ok3
         R = jnp.where(any_ok, so3_orthonormalize(R_f), R)
         t = jnp.where(any_ok, t_f, t)
@@ -183,5 +196,12 @@ def estimate_pose_cascade(
                  jnp.asarray(0))
     mean_err = pick(r0["mean_err"], r1["mean_err"], r2["mean_err"], e3,
                     jnp.asarray(jnp.inf, jnp.float32))
+    if fuse:
+        # telemetry follows the fusion winner (the rotation's source), not
+        # the priority pick — otherwise method=0 stats could describe a pose
+        # dominated by another candidate.
+        method = jnp.where(any_ok, best.astype(jnp.int32), method)
+        n_inl = jnp.where(any_ok, n_stack[best], n_inl)
+        mean_err = jnp.where(any_ok, e_stack[best], mean_err)
     return PoseEstimate(R=R, t=t, ok=ok, n_inliers=n_inl, mean_err=mean_err,
                         method=method, inliers0=r0["inliers"])

@@ -28,13 +28,27 @@ class PoseCandidate(NamedTuple):
 
 
 @jax.jit
-def fuse_poses(cands: PoseCandidate, err_scale: float = 2.0, inlier_boost_at: int = 50,
-               outlier_distance: float = 0.5):
-    """Fuse M pose candidates. Returns (R, t, confidence, cov_diag(6,)).
+def fuse_poses(cands: PoseCandidate, err_scale=2.0, inlier_boost_at: int = 50,
+               outlier_distance: float = 0.5, consistency_scale: float = 0.2):
+    """Fuse M pose candidates. Returns (R, t, confidence, cov_diag(6,), best).
 
     Weights follow `pose_fusion.cpp:11-61`; the consistency factor compares
-    each translation against the confidence-weighted consensus.
+    each translation against the confidence-weighted consensus. ``err_scale``
+    may be a scalar or an (M,) vector — the reference's `compute_weight` uses
+    per-method scales (0.1 m for 3D-3D, 3.0 px for pixel-residual methods),
+    so mixed-unit candidate sets must pass a vector. ``best`` is the index of
+    the winning candidate (the fused rotation's source).
     """
+    err_scale = jnp.asarray(err_scale, jnp.float32)
+    # invalid candidates may carry NaN residuals (a failed solver); weight 0
+    # is not enough — 0*NaN = NaN poisons the weighted sums. Sanitize first.
+    safe_err = jnp.where(cands.valid & jnp.isfinite(cands.mean_err),
+                         cands.mean_err, 1e6)
+    t_anchor0 = cands.t[jnp.argmax(jnp.where(cands.valid, cands.inlier_ratio, -1.0))]
+    safe_t = jnp.where(
+        (cands.valid & jnp.all(jnp.isfinite(cands.t), axis=-1))[:, None],
+        cands.t, t_anchor0)
+    cands = cands._replace(mean_err=safe_err, t=safe_t)
     err_term = jnp.exp(-cands.mean_err / err_scale)
     boost = jnp.clip(cands.n_inliers.astype(jnp.float32) / inlier_boost_at, 0.0, 1.0)
     base = 0.4 * cands.inlier_ratio + 0.4 * err_term + 0.2 * boost
@@ -45,7 +59,7 @@ def fuse_poses(cands: PoseCandidate, err_scale: float = 2.0, inlier_boost_at: in
     t_consensus = jnp.sum(cands.t * w[:, None], axis=0) / wsum
     # consistency: candidates far from consensus get down-weighted, then re-fuse
     dist = jnp.linalg.norm(cands.t - t_consensus, axis=-1)
-    consistency = jnp.exp(-dist / jnp.maximum(err_scale * 0.1, 1e-6))
+    consistency = jnp.exp(-dist / jnp.maximum(consistency_scale, 1e-6))
     w2 = jnp.where(cands.valid, 0.4 * cands.inlier_ratio + 0.4 * err_term * consistency + 0.2 * boost, 0.0)
     w2 = jnp.where(cands.is_line, w2 * 0.9, w2)
     # hard outlier gate (hardening over the reference formula): a candidate
@@ -64,4 +78,4 @@ def fuse_poses(cands: PoseCandidate, err_scale: float = 2.0, inlier_boost_at: in
     sigma_r = 0.02 / jnp.maximum(confidence, 1e-3)
     cov_diag = jnp.concatenate([jnp.full((3,), sigma_t ** 2), jnp.full((3,), sigma_r ** 2)])
     any_valid = jnp.any(cands.valid)
-    return R_fused, t_fused, jnp.where(any_valid, confidence, 0.0), cov_diag
+    return R_fused, t_fused, jnp.where(any_valid, confidence, 0.0), cov_diag, best

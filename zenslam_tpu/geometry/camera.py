@@ -29,7 +29,10 @@ class PinholeCamera(NamedTuple):
     cx: jnp.ndarray
     cy: jnp.ndarray
     dist: jnp.ndarray  # (4,)
-    width: int = 0     # static metadata (not traced)
+    # NB: NamedTuple fields are pytree LEAVES — under jit these become
+    # tracers like everything else. Never branch on them in Python inside a
+    # jitted function; compare in array-land (jnp.where) instead.
+    width: int = 0
     height: int = 0
 
     @property

@@ -196,10 +196,12 @@ def make_synthetic_bal(
     drop_fraction: float = 0.05,
 ) -> BalData:
     """Generate a small BAL-format problem with a dense co-observation graph
-    (every camera sees ~all points), standing in for the checked-in BAL
-    subsets the reference stripped from its repo (`.MISSING_LARGE_BLOBS`).
-    Camera params and raw uv are present for format fidelity but — like the
-    reference's harness — only the graph + point cloud are load-bearing."""
+    (every camera sees ~all points). A fast, dependency-free fixture used
+    alongside the reference's real checked-in BAL problems
+    (`zenslam_tests/data/bal/problem-{21-11315,49-7776}-pre.txt` — present in
+    its repo; only the Dubrovnik problem was stripped). Camera params and raw
+    uv are present for format fidelity but — like the reference's harness —
+    only the graph + point cloud are load-bearing."""
     rng = np.random.default_rng(seed)
     pts = rng.normal(0.0, 40.0, (n_points, 3))
     cams = np.zeros((n_cameras, 9))

@@ -190,11 +190,15 @@ def _associate_landmarks(cfg: SlamConfig, rig: StereoRig, feats: FeatureTable, l
     # search-radius cap (`tracking_options.h:14`, 50 m)
     in_frustum = (xc[:, 2] > 0.1) & (
         jnp.linalg.norm(xc, axis=-1) < cfg.landmark_search_radius)
-    if rig.left.width > 0 and rig.left.height > 0:
-        m = float(cfg.frustum_margin)
-        in_frustum = in_frustum & (
-            (proj[:, 0] >= -m) & (proj[:, 0] < rig.left.width + m)
-            & (proj[:, 1] >= -m) & (proj[:, 1] < rig.left.height + m))
+    # rig.left.width/height are pytree leaves (traced under jit) — the bounds
+    # check must stay in array-land. Rigs with unknown size (0) skip the gate.
+    m = jnp.float32(cfg.frustum_margin)
+    w = jnp.asarray(rig.left.width, jnp.float32)
+    h = jnp.asarray(rig.left.height, jnp.float32)
+    in_bounds = (
+        (proj[:, 0] >= -m) & (proj[:, 0] < w + m)
+        & (proj[:, 1] >= -m) & (proj[:, 1] < h + m))
+    in_frustum = in_frustum & jnp.where((w > 0) & (h > 0), in_bounds, True)
     # landmarks already attached to a live track are not re-assignable
     attached = jnp.zeros(lmap.valid.shape[0], bool).at[
         jnp.where(feats.valid & (feats.lm_idx >= 0), feats.lm_idx, lmap.valid.shape[0])

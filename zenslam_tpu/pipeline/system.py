@@ -48,8 +48,10 @@ class BackendConfig:
     ba_iterations: int = 10
     ba_every_kf: bool = True
     # reduced-camera-system solver: "dense" (Cholesky, small windows),
-    # "cg" (matrix-free, full-map scale), "auto" = cg when the keyframe
-    # capacity exceeds 16 (the dense path materializes (M, K, 6, 3) blocks)
+    # "cg" (matrix-free, full-map scale), "auto" = cg when the BA window
+    # itself exceeds 16 keyframes (the problem is compacted to the window,
+    # so the dense path's (M, K, 6, 3) blocks scale with ba_window, not
+    # with the keyframe-db capacity)
     ba_solver: str = "auto"
     # loop closure
     enable_loop_closure: bool = True
@@ -116,30 +118,44 @@ def _apply_pose_correction(state: SlamState, R_old, t_old, R_new, t_new) -> Slam
 
 
 def _run_windowed_ba(sys: SlamSystem):
-    """Windowed Schur BA over the most recent keyframes; write back."""
-    cam = sys.rig.left
-    window = recent_mask(sys.kf_db, sys.bcfg.ba_window)
+    """Windowed Schur BA over the most recent keyframes; write back.
+
+    The problem is COMPACTED to the window: the W most recent keyframe rows
+    are gathered into a (W, …) sub-database, so the jitted solver compiles
+    for K=ba_window — the dense path's (M, K, 6, 3) block tensor and the
+    (6K, 6K) reduced system scale with the window, not the db capacity."""
+    db = sys.kf_db
+    W = sys.bcfg.ba_window
+    order = jnp.argsort(-db.frame_idx)       # newest first; empty slots last
+    slots = order[:W]                        # (W,) ring slots in the window
+    sub = db._replace(
+        R=db.R[slots], t=db.t[slots],
+        kp_xy=db.kp_xy[slots], kp_lm=db.kp_lm[slots],
+        kp_lm_gen=db.kp_lm_gen[slots], kp_xyz=db.kp_xyz[slots],
+        kp_valid=db.kp_valid[slots], kp_uvr=db.kp_uvr[slots],
+        kp_stereo=db.kp_stereo[slots], kp_desc=db.kp_desc[slots],
+        frame_idx=db.frame_idx[slots], valid=db.valid[slots],
+    )
     p = ba_problem_from_db(
-        sys.kf_db, sys.state.lmap.xyz, sys.state.lmap.valid,
-        sys.rig, window_mask=window,
-        lmap_generation=sys.state.lmap.generation,
+        sub, sys.state.lmap.xyz, sys.state.lmap.valid,
+        sys.rig, lmap_generation=sys.state.lmap.generation,
     )
     use_cg = (sys.bcfg.ba_solver == "cg"
-              or (sys.bcfg.ba_solver == "auto"
-                  and sys.bcfg.max_keyframes > 16))
+              or (sys.bcfg.ba_solver == "auto" and W > 16))
     if use_cg:
         res = bundle_adjust_cg(p, iterations=sys.bcfg.ba_iterations)
     else:
         res = bundle_adjust(p, iterations=sys.bcfg.ba_iterations)
-    slot = sys.last_kf_slot
-    R_old = sys.kf_db.R[slot]
-    t_old = sys.kf_db.t[slot]
+    # newest keyframe sits at compact index 0 (argsort order)
+    R_old = sub.R[0]
+    t_old = sub.t[0]
     # write back poses & refined landmarks (only those optimized)
-    sys.kf_db = sys.kf_db._replace(R=res["R"], t=res["t"])
+    sys.kf_db = db._replace(R=db.R.at[slots].set(res["R"]),
+                            t=db.t.at[slots].set(res["t"]))
     new_xyz = jnp.where(p.lm_valid[:, None], res["xyz"], sys.state.lmap.xyz)
     sys.state = sys.state._replace(lmap=sys.state.lmap._replace(xyz=new_xyz))
     sys.state = _apply_pose_correction(sys.state, R_old, t_old,
-                                       res["R"][slot], res["t"][slot])
+                                       res["R"][0], res["t"][0])
     sys.n_ba_runs += 1
     return float(res["rmse_before"]), float(res["rmse_after"])
 
