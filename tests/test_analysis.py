@@ -1,0 +1,81 @@
+"""Analysis/plotting parity scripts produce figures from a recorded CSV
+(≡ the reference's `zenslam_py/scripts/plot_*.py` over its frame CSV)."""
+
+import os
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from zenslam_tpu.io.telemetry import TelemetryWriter, analyze_frame_stats
+
+
+def _write_csv(path, n=40, seed=3):
+    rng = np.random.default_rng(seed)
+    w = TelemetryWriter(str(path))
+    for i in range(n):
+        tel = SimpleNamespace(
+            R_cw=np.eye(3, dtype=np.float32),
+            t_cw=np.asarray([0.1 * i, 0.0, 0.0], np.float32),
+            n_tracked=int(200 + rng.integers(-30, 30)),
+            n_detected=int(rng.integers(20, 80)),
+            n_stereo=int(rng.integers(80, 150)),
+            n_triangulated=int(rng.integers(30, 90)),
+            n_pose_inliers=int(rng.integers(40, 120)),
+            pose_method=int(rng.integers(0, 4)),
+            pose_ok=True,
+            tracked_ratio=float(rng.uniform(0.5, 0.95)),
+            is_keyframe=bool(i % 8 == 0),
+            map_size=int(300 + 12 * i),
+        )
+        w.write(tel, timestamp=i * 0.05,
+                duration_ms=float(rng.uniform(12, 25)),
+                wait_ms=float(rng.uniform(1, 3)),
+                step_ms=float(rng.uniform(8, 15)),
+                backend_ms=float(rng.uniform(0, 6)) if i % 8 == 0 else 0.0)
+    w.close()
+    return path
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    return _write_csv(tmp_path_factory.mktemp("telemetry") / "frame_data.csv")
+
+
+def test_plot_timing_breakdown(csv_path, tmp_path):
+    from zenslam_tpu.analysis.plot_timing_breakdown import main
+
+    out = tmp_path / "plots"
+    assert main(["--csv", str(csv_path), "--output", str(out)]) == 0
+    for f in ["timing_stacked.png", "timing_distribution.png",
+              "timing_throughput.png"]:
+        assert (out / f).stat().st_size > 1000
+
+
+def test_plot_feature_metrics(csv_path, tmp_path):
+    from zenslam_tpu.analysis.plot_feature_metrics import main
+
+    out = tmp_path / "plots"
+    assert main(["--csv", str(csv_path), "--output", str(out)]) == 0
+    for f in ["feature_counts.png", "feature_quality.png",
+              "feature_map_growth.png", "feature_pose_methods.png"]:
+        assert (out / f).stat().st_size > 1000
+
+
+def test_plot_detector_comparison(csv_path, tmp_path):
+    from zenslam_tpu.analysis.plot_detector_comparison import main
+
+    other = _write_csv(tmp_path / "other.csv", seed=9)
+    out = tmp_path / "plots"
+    assert main(["--run", f"baseline={csv_path}",
+                 "--run", f"variant={other}",
+                 "--output", str(out)]) == 0
+    for f in ["comparison_means.png", "comparison_tracked.png",
+              "comparison_timing.png"]:
+        assert (out / f).stat().st_size > 1000
+
+
+def test_analyze_frame_stats_consumes_same_csv(csv_path):
+    stats = analyze_frame_stats(str(csv_path))
+    assert stats["n_frames"] == 40
+    assert 0.0 <= stats["problem_fraction"] <= 1.0
