@@ -151,3 +151,103 @@ class TestGravity:
                                      0.05, 0.05, jnp.eye(3), f_body)
         _, ok = gravity_estimate(est)
         assert not bool(ok)
+
+
+class TestContinuousPreintegration:
+    """LPM / UGPM-grade backends (≡ `integrator.cpp:184-215`,
+    `integrator_ugpm.cpp:15-79`): continuous-time fit over an overlap
+    window, resampled and preintegrated — property-tested against the
+    manifold integrator on smooth trajectories."""
+
+    def _smooth_traj(self, T=240, dt=0.005, seed=5):
+        """Sinusoidal body rates/accel sampled at 200 Hz over 1.2 s."""
+        ts = np.arange(T, dtype=np.float32) * dt
+        gyro = np.stack([0.4 * np.sin(2 * np.pi * 0.8 * ts),
+                         0.2 * np.cos(2 * np.pi * 0.5 * ts),
+                         0.3 * np.sin(2 * np.pi * 0.3 * ts + 0.7)], -1)
+        accel = np.stack([1.0 * np.sin(2 * np.pi * 0.6 * ts),
+                          0.5 * np.cos(2 * np.pi * 0.9 * ts),
+                          9.8 + 0.3 * np.sin(2 * np.pi * 0.4 * ts)], -1)
+        return (jnp.asarray(ts), jnp.asarray(gyro.astype(np.float32)),
+                jnp.asarray(accel.astype(np.float32)), dt)
+
+    @pytest.mark.parametrize("method", ["lpm", "ugpm"])
+    def test_matches_manifold_on_smooth_trajectory(self, method):
+        from zenslam_tpu.imu import preintegrate_continuous
+
+        ts, gyro, accel, dt = self._smooth_traj()
+        T = ts.shape[0]
+        mask = jnp.ones(T, bool)
+        # integrate the central 0.4 s; the rest is overlap context
+        t0, t1 = 0.4, 0.8
+        sel = (np.asarray(ts) >= t0) & (np.asarray(ts) < t1)
+        it_ref = preintegrate(gyro[sel], accel[sel],
+                              jnp.full(int(sel.sum()), dt), 
+                              jnp.ones(int(sel.sum()), bool))
+        it = preintegrate_continuous(ts, gyro, accel, mask, t0, t1,
+                                     n_grid=80, method=method)
+        from zenslam_tpu.geometry import so3_log
+        r_err = float(jnp.linalg.norm(so3_log(it.dR @ it_ref.dR.T)))
+        assert r_err < 3e-3
+        np.testing.assert_allclose(np.asarray(it.dv), np.asarray(it_ref.dv),
+                                   atol=2e-2)
+        np.testing.assert_allclose(np.asarray(it.dp), np.asarray(it_ref.dp),
+                                   atol=1e-2)
+        assert abs(float(it.dt) - (t1 - t0)) < 1e-5
+
+    def test_ugpm_denoises_vs_lpm(self):
+        """The point of the GP backend: on NOISY samples of a smooth signal
+        its integral is closer to the clean ground truth than LPM's."""
+        from zenslam_tpu.imu import preintegrate_continuous
+
+        ts, gyro, accel, dt = self._smooth_traj()
+        T = ts.shape[0]
+        mask = jnp.ones(T, bool)
+        t0, t1 = 0.4, 0.8
+        clean = preintegrate_continuous(ts, gyro, accel, mask, t0, t1,
+                                        n_grid=80, method="lpm")
+        rng = np.random.default_rng(0)
+        gn = gyro + jnp.asarray(rng.normal(0, 0.05, gyro.shape).astype(np.float32))
+        an = accel + jnp.asarray(rng.normal(0, 0.3, accel.shape).astype(np.float32))
+        lpm = preintegrate_continuous(ts, gn, an, mask, t0, t1,
+                                      n_grid=80, method="lpm")
+        ugpm = preintegrate_continuous(ts, gn, an, mask, t0, t1,
+                                       n_grid=80, method="ugpm")
+        err_lpm = float(jnp.linalg.norm(lpm.dv - clean.dv))
+        err_ugpm = float(jnp.linalg.norm(ugpm.dv - clean.dv))
+        assert err_ugpm < err_lpm
+
+    def test_masked_padding_and_unsorted_input(self):
+        from zenslam_tpu.imu import preintegrate_continuous
+
+        ts, gyro, accel, dt = self._smooth_traj()
+        T = ts.shape[0]
+        # shuffle + pad with garbage
+        rng = np.random.default_rng(2)
+        perm = rng.permutation(T)
+        ts_s, g_s, a_s = ts[perm], gyro[perm], accel[perm]
+        pad = 40
+        ts_p = jnp.concatenate([ts_s, jnp.full(pad, 777.0)])
+        g_p = jnp.concatenate([g_s, jnp.full((pad, 3), 999.0)])
+        a_p = jnp.concatenate([a_s, jnp.full((pad, 3), 999.0)])
+        m_p = jnp.concatenate([jnp.ones(T, bool), jnp.zeros(pad, bool)])
+        ref = preintegrate_continuous(ts, gyro, accel, jnp.ones(T, bool),
+                                      0.4, 0.8, n_grid=64, method="lpm")
+        got = preintegrate_continuous(ts_p, g_p, a_p, m_p, 0.4, 0.8,
+                                      n_grid=64, method="lpm")
+        np.testing.assert_allclose(np.asarray(got.dv), np.asarray(ref.dv),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.dp), np.asarray(ref.dp),
+                                   atol=1e-5)
+
+    def test_overlap_window_mask(self):
+        from zenslam_tpu.imu import overlap_window_mask
+
+        ts = jnp.asarray(np.linspace(-10.0, 10.0, 201, dtype=np.float32))
+        m = overlap_window_mask(ts, jnp.ones(201, bool), 0.0, 0.5,
+                                overlap_factor=8.0)
+        ts_np = np.asarray(ts)
+        keep = np.asarray(m)
+        assert keep[(ts_np >= -4.0) & (ts_np <= 4.5)].all()
+        assert not keep[ts_np < -4.01].any()
+        assert not keep[ts_np > 4.51].any()

@@ -93,3 +93,22 @@ class TestVioPipeline:
         gt = camera_positions(seq.R_lw, seq.t_lw)
         est = camera_positions(tel_a.R_cw, tel_a.t_cw)
         assert ate_rmse(est, gt) < 0.02
+
+
+class TestImuBackendSelection:
+    """`imu_method` config field dispatches the integrator backend
+    (≡ the reference façade's method switch, `integrator.cpp:158-216`)."""
+
+    @pytest.mark.parametrize("method", ["lpm", "ugpm"])
+    def test_continuous_backends_track(self, vio_seq, method):
+        seq = vio_seq
+        cfg = SlamConfig(max_keypoints=256, max_landmarks=2048,
+                         pnp_iters=128, rigid_iters=128, imu_method=method)
+        imu = (seq.gyro[:8], seq.accel[:8], seq.imu_dts[:8], seq.imu_mask[:8])
+        states, telem = run_sequence(cfg, seq.rig, seq.left[:8], seq.right[:8],
+                                     imu=imu)
+        est = np.stack([np.asarray(-telem.R_cw[t].T @ telem.t_cw[t])
+                        for t in range(8)])
+        gt = camera_positions(seq.R_lw[:8], seq.t_lw[:8])
+        assert ate_rmse(est, gt) < 0.05
+        assert bool(np.asarray(telem.pose_ok)[2:].all())

@@ -97,32 +97,26 @@ def _nms3x3(score):
 @functools.partial(
     jax.jit, static_argnames=("cell_size", "max_keypoints", "border")
 )
-def detect_grid_keypoints(
-    img,
+def select_grid_keypoints(
+    score,
     existing_xy,
     existing_valid,
-    threshold: float = 10.0 / 255.0,
     cell_size: int = 16,
     max_keypoints: int = 512,
-    mask_radius: float = 8.0,
     border: int = 16,
 ):
-    """FAST + NMS + one-best-per-cell + global top-K into a fixed table.
-
-    Cells already containing a (valid) existing keypoint are suppressed, and a
-    circular mask of ``mask_radius`` around each existing keypoint zeroes the
-    score — ≡ the occupancy check in `keypoint_detector_grid.cpp:39-150` and
-    the circular masks in `keypoint_detector_simple.cpp:38-63`.
+    """NMS + one-best-per-cell + global top-K of ANY dense score map into a
+    fixed table — the selection back half shared by the FAST and Harris
+    detector families (≡ `keypoint_detector_grid.cpp:39-150` occupancy grid).
 
     Args:
-      img: (H, W) float32, H and W divisible by cell_size.
+      score: (H, W) float32 dense detector response (0 = not a feature).
       existing_xy: (M, 2) float32 current keypoints (x, y).
       existing_valid: (M,) bool.
     Returns:
       xy: (max_keypoints, 2) float32, score: (max_keypoints,), valid: (max_keypoints,) bool.
     """
-    H, W = img.shape
-    score = fast_score(img, threshold)
+    H, W = score.shape
     score = _nms3x3(score)
 
     # border suppression (descriptor/LK windows need margin)
@@ -175,3 +169,28 @@ def detect_grid_keypoints(
         top_xy = jnp.pad(top_xy, ((0, pad), (0, 0)))
         valid = jnp.pad(valid, (0, pad))
     return top_xy, top_score, valid
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cell_size", "max_keypoints", "border")
+)
+def detect_grid_keypoints(
+    img,
+    existing_xy,
+    existing_valid,
+    threshold: float = 10.0 / 255.0,
+    cell_size: int = 16,
+    max_keypoints: int = 512,
+    mask_radius: float = 8.0,
+    border: int = 16,
+):
+    """FAST + NMS + one-best-per-cell + global top-K into a fixed table.
+
+    Cells already containing a (valid) existing keypoint are suppressed
+    (≡ the occupancy check in `keypoint_detector_grid.cpp:39-150` and the
+    circular masks in `keypoint_detector_simple.cpp:38-63`).
+    """
+    score = fast_score(img, threshold)
+    return select_grid_keypoints(score, existing_xy, existing_valid,
+                                 cell_size=cell_size,
+                                 max_keypoints=max_keypoints, border=border)

@@ -51,6 +51,33 @@ def hamming_matrix(packed_a, packed_b):
     return d.astype(jnp.int32)
 
 
+def _select_matches(D, valid_a, valid_b, max_distance, ratio, cross_check,
+                    use_ratio, gate_mask, big):
+    """Shared row/col-argmin match selection over a distance matrix D."""
+    invalid = (~valid_a[:, None]) | (~valid_b[None, :])
+    if gate_mask is not None:
+        invalid = invalid | (~gate_mask)
+    D = jnp.where(invalid, big, D)
+
+    idx_b = jnp.argmin(D, axis=1).astype(jnp.int32)
+    best = jnp.min(D, axis=1)
+    ok = best <= max_distance
+
+    if use_ratio:
+        # second best: mask out the best column per row
+        row = jnp.arange(D.shape[0])
+        D2 = D.at[row, idx_b].set(big)
+        second = jnp.min(D2, axis=1)
+        ok = ok & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+
+    if cross_check:
+        back = jnp.argmin(D, axis=0).astype(jnp.int32)  # best A for each B
+        ok = ok & (back[idx_b] == jnp.arange(D.shape[0], dtype=jnp.int32))
+
+    idx_b = jnp.where(ok, idx_b, -1)
+    return idx_b, best, ok
+
+
 @functools.partial(jax.jit, static_argnames=("cross_check", "use_ratio"))
 def match_descriptors(
     packed_a,
@@ -76,28 +103,63 @@ def match_descriptors(
       ok:    (N,) bool  match accepted
     """
     D = hamming_matrix(packed_a, packed_b)
-    invalid = (~valid_a[:, None]) | (~valid_b[None, :])
-    if gate_mask is not None:
-        invalid = invalid | (~gate_mask)
-    D = jnp.where(invalid, BIG, D)
+    return _select_matches(D, valid_a, valid_b, max_distance, ratio,
+                           cross_check, use_ratio, gate_mask, BIG)
 
-    idx_b = jnp.argmin(D, axis=1).astype(jnp.int32)
-    best = jnp.min(D, axis=1)
-    ok = best <= max_distance
 
-    if use_ratio:
-        # second best: mask out the best column per row
-        row = jnp.arange(D.shape[0])
-        D2 = D.at[row, idx_b].set(BIG)
-        second = jnp.min(D2, axis=1)
-        ok = ok & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+@jax.jit
+def l2_matrix(desc_a, desc_b):
+    """Full squared-L2 distance matrix (N, M) float32 via one MXU matmul:
+    ||a-b||² = |a|² + |b|² − 2 a·b (≡ the float-descriptor BF/FLANN matcher,
+    `matcher.cpp` + `matching_utils.cpp:63-95` — on TPU the dense matmul IS
+    the fast path, same argument as the Hamming kernel above)."""
+    na = jnp.sum(desc_a * desc_a, axis=-1)
+    nb = jnp.sum(desc_b * desc_b, axis=-1)
+    ab = jax.lax.dot_general(
+        desc_a, desc_b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return jnp.maximum(na[:, None] + nb[None, :] - 2.0 * ab, 0.0)
 
-    if cross_check:
-        back = jnp.argmin(D, axis=0).astype(jnp.int32)  # best A for each B
-        ok = ok & (back[idx_b] == jnp.arange(D.shape[0], dtype=jnp.int32))
 
-    idx_b = jnp.where(ok, idx_b, -1)
-    return idx_b, best, ok
+@functools.partial(jax.jit, static_argnames=("cross_check", "use_ratio"))
+def match_descriptors_float(
+    desc_a,
+    desc_b,
+    valid_a,
+    valid_b,
+    max_distance: float = 0.35,
+    ratio: float = 0.8,
+    cross_check: bool = True,
+    use_ratio: bool = False,
+    gate_mask=None,
+):
+    """L2 matcher for float descriptors (SIFT-family). Same contract as
+    `match_descriptors`; ``max_distance`` is EUCLIDEAN (not squared) and the
+    ratio test compares euclidean distances like Lowe's."""
+    D = jnp.sqrt(l2_matrix(desc_a, desc_b) + 1e-12)
+    return _select_matches(D, valid_a, valid_b, max_distance, ratio,
+                           cross_check, use_ratio, gate_mask, jnp.float32(1e9))
+
+
+def _lsh_planes(dim: int = 128, bits: int = 256, seed: int = 77):
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return rs.normal(0.0, 1.0, size=(dim, bits)).astype(np.float32)
+
+
+@jax.jit
+def lsh_binarize(desc):
+    """(N, D) float descriptors -> (N, 8) packed uint32 sign-of-projection
+    bits (256 fixed random hyperplanes). Lets the float-descriptor family
+    flow through every binary consumer (keyframe snapshots, BoW vocabulary,
+    loop-closure matching) unchanged — Hamming distance of the codes
+    approximates angular distance of the float vectors (Charikar SimHash)."""
+    planes = jnp.asarray(_lsh_planes(desc.shape[-1]))
+    bits = (desc @ planes > 0.0)                       # (N, 256)
+    b = bits.reshape(*desc.shape[:-1], 8, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(b << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
 @jax.jit

@@ -92,6 +92,22 @@ class SlamConfig(NamedTuple):
     kf_min_inliers: int = 20
     # landmark refinement
     landmark_ema: float = 0.0  # 0 = keep first triangulation (reference map::insert semantics)
+    # detector / descriptor family ≡ the reference's detector factory
+    # (`keypoint_detector_simple.cpp:8-36`: FAST/ORB/SIFT detector ×
+    # ORB/SIFT/FREAK descriptor). Two families here: the binary path
+    # (FAST + ORB-256, Hamming) and the float path (multi-scale Harris +
+    # SIFT-128, L2 matmul matcher). Back-end consumers (keyframe DB, BoW,
+    # loop closure) always see binary codes — float descriptors are
+    # LSH-binarized at the snapshot boundary (`ops/match.lsh_binarize`).
+    detector: str = "fast"          # "fast" | "harris"
+    descriptor: str = "orb"         # "orb" | "sift"
+    harris_threshold: float = 1e-7
+    float_match_distance: float = 0.55  # L2 accept gate (unit-norm SIFT)
+    # IMU preintegration backend ≡ the reference integrator façade's method
+    # field (`integrator.h:39-44` / `integrator.cpp:158-216`):
+    # "basalt" (per-sample manifold scan), "lpm" (linear continuous-time
+    # resample), "ugpm" (GP posterior resample — denoises noisy IMUs)
+    imu_method: str = "basalt"
     # LK implementation: None = auto (Pallas kernel on TPU, scanned XLA on CPU)
     use_pallas_lk: bool | None = None
     # keylines (`slam_options::use_keylines`, `keyline_detector.cpp`,
@@ -113,7 +129,8 @@ class FeatureTable(NamedTuple):
     xy: jnp.ndarray         # (N, 2) float32 — left-image pixels
     uv_r: jnp.ndarray       # (N, 2) float32 — right-image pixels (stereo transfer)
     stereo_ok: jnp.ndarray  # (N,) bool
-    desc: jnp.ndarray       # (N, 8) uint32 — ORB-256 packed
+    desc: jnp.ndarray       # (N, 8) uint32 ORB-256 packed, or (N, 128)
+                            # float32 when cfg.descriptor == "sift"
     lm_idx: jnp.ndarray     # (N,) int32 — slot into LandmarkMap, -1 = none
     track_id: jnp.ndarray   # (N,) int32 — stable global feature id (monotone)
     age: jnp.ndarray        # (N,) int32 — frames tracked
@@ -149,7 +166,7 @@ class LandmarkMap(NamedTuple):
     """World landmark table (capacity M = max_landmarks)."""
 
     xyz: jnp.ndarray        # (M, 3) float32 — world coordinates
-    desc: jnp.ndarray       # (M, 8) uint32 — descriptor at creation
+    desc: jnp.ndarray       # descriptor at creation (shape follows family)
     valid: jnp.ndarray      # (M,) bool
     last_seen: jnp.ndarray  # (M,) int32 — frame index of last observation
     n_obs: jnp.ndarray      # (M,) int32 — number of observations
@@ -265,13 +282,20 @@ class FrameTelemetry(NamedTuple):
     t_cw: jnp.ndarray
 
 
+def empty_desc(cfg: SlamConfig, n: int):
+    """Descriptor storage for the active family: packed binary or float."""
+    if cfg.descriptor == "sift":
+        return jnp.zeros((n, 128), jnp.float32)
+    return jnp.zeros((n, 8), jnp.uint32)
+
+
 def empty_features(cfg: SlamConfig) -> FeatureTable:
     n = cfg.max_keypoints
     return FeatureTable(
         xy=jnp.zeros((n, 2), jnp.float32),
         uv_r=jnp.zeros((n, 2), jnp.float32),
         stereo_ok=jnp.zeros(n, bool),
-        desc=jnp.zeros((n, 8), jnp.uint32),
+        desc=empty_desc(cfg, n),
         lm_idx=jnp.full(n, -1, jnp.int32),
         track_id=jnp.full(n, -1, jnp.int32),
         age=jnp.zeros(n, jnp.int32),
@@ -308,7 +332,7 @@ def empty_landmarks(cfg: SlamConfig) -> LandmarkMap:
     m = cfg.max_landmarks
     return LandmarkMap(
         xyz=jnp.zeros((m, 3), jnp.float32),
-        desc=jnp.zeros((m, 8), jnp.uint32),
+        desc=empty_desc(cfg, m),
         valid=jnp.zeros(m, bool),
         last_seen=jnp.full(m, -1, jnp.int32),
         n_obs=jnp.zeros(m, jnp.int32),

@@ -37,7 +37,8 @@ from zenslam_tpu.ops.image import build_pyramid
 from zenslam_tpu.ops.fast import detect_grid_keypoints
 from zenslam_tpu.ops.orb import orb_descriptors
 from zenslam_tpu.ops.lines import keyline_descriptors
-from zenslam_tpu.ops.match import match_descriptors, radius_gate
+from zenslam_tpu.ops.match import (
+    match_descriptors, match_descriptors_float, radius_gate)
 from zenslam_tpu.ops.lk import (
     lk_forward_backward,
     build_ragged_pyramid_pair,
@@ -123,14 +124,50 @@ def _temporal_track(cfg: SlamConfig, rig: StereoRig, state: SlamState, pyr_l, ts
     return feats, jnp.sum(ok)
 
 
+def _match_desc(cfg: SlamConfig, da, db, va, vb, gate_mask):
+    """Descriptor-family dispatch: Hamming for the binary path, L2 matmul
+    for the float (SIFT) path (≡ `utils::create_matcher` picking NORM_HAMMING
+    vs NORM_L2, `matching_utils.cpp:63-95`)."""
+    if cfg.descriptor == "sift":
+        return match_descriptors_float(
+            da, db, va, vb, max_distance=cfg.float_match_distance,
+            cross_check=True, gate_mask=gate_mask)
+    return match_descriptors(
+        da, db, va, vb, max_distance=cfg.landmark_match_distance,
+        cross_check=True, gate_mask=gate_mask)
+
+
+def _compute_descriptors(cfg: SlamConfig, img_l, feats: FeatureTable):
+    """Descriptor-family dispatch for DESCRIBE (≡ the descriptor switch of
+    `keypoint_detector_simple.cpp:8-36`)."""
+    if cfg.descriptor == "sift":
+        from zenslam_tpu.ops.sift import sift_descriptors
+
+        return sift_descriptors(img_l, feats.xy, feats.valid)
+    desc, _ = orb_descriptors(img_l, feats.xy, feats.valid)
+    return desc
+
+
 def _detect_topup(cfg: SlamConfig, img_l, feats: FeatureTable, next_track_id):
     """Grid detection into free slots (≡ detector top-up,
-    `keypoint_tracker.cpp:53-72` + `keypoint_detector_grid.cpp`)."""
-    det_xy, det_score, det_valid = detect_grid_keypoints(
-        img_l, feats.xy, feats.valid,
-        threshold=cfg.fast_threshold, cell_size=cfg.cell_size,
-        max_keypoints=cfg.max_keypoints, border=cfg.detect_border,
-    )
+    `keypoint_tracker.cpp:53-72` + `keypoint_detector_grid.cpp`).
+    cfg.detector selects the dense score family (FAST vs multi-scale
+    Harris ≡ the detector switch of `keypoint_detector_simple.cpp:8-36`)."""
+    if cfg.detector == "harris":
+        from zenslam_tpu.ops.fast import select_grid_keypoints
+        from zenslam_tpu.ops.harris import harris_score_multiscale
+
+        score = harris_score_multiscale(img_l, threshold=cfg.harris_threshold)
+        det_xy, det_score, det_valid = select_grid_keypoints(
+            score, feats.xy, feats.valid, cell_size=cfg.cell_size,
+            max_keypoints=cfg.max_keypoints, border=cfg.detect_border,
+        )
+    else:
+        det_xy, det_score, det_valid = detect_grid_keypoints(
+            img_l, feats.xy, feats.valid,
+            threshold=cfg.fast_threshold, cell_size=cfg.cell_size,
+            max_keypoints=cfg.max_keypoints, border=cfg.detect_border,
+        )
     slot, placed = insert_into_free_slots(~feats.valid, det_score, det_valid)
     sl = jnp.where(placed, slot, cfg.max_keypoints)  # drop-mode scatter target
     n_placed = jnp.sum(placed.astype(jnp.int32))
@@ -206,11 +243,8 @@ def _associate_landmarks(cfg: SlamConfig, rig: StereoRig, feats: FeatureTable, l
     assignable = lmap.valid & in_frustum & (~attached)
     free_kp = feats.valid & (feats.lm_idx < 0)
     gate = radius_gate(feats.xy, proj, 20.0)
-    idx, dist, ok = match_descriptors(
-        feats.desc, lmap.desc, free_kp, assignable,
-        max_distance=cfg.landmark_match_distance, cross_check=True,
-        gate_mask=gate,
-    )
+    idx, dist, ok = _match_desc(cfg, feats.desc, lmap.desc, free_kp,
+                                assignable, gate)
     new_lm_idx = jnp.where(ok & free_kp, idx, feats.lm_idx)
     return feats._replace(lm_idx=new_lm_idx), jnp.sum(ok & free_kp)
 
@@ -243,11 +277,7 @@ def _temporal_rematch(cfg: SlamConfig, rig: StereoRig, feats: FeatureTable,
     Kinv = jnp.linalg.inv(rig.left.K)
     F = Kinv.T @ E @ Kinv
     gate = epipolar_gate(F, prev_xy, feats.xy, cfg.temporal_match_epipolar)
-    idx, dist, ok = match_descriptors(
-        prev_desc, feats.desc, lost, free,
-        max_distance=cfg.landmark_match_distance, cross_check=True,
-        gate_mask=gate,
-    )
+    idx, dist, ok = _match_desc(cfg, prev_desc, feats.desc, lost, free, gate)
     tgt = jnp.where(ok, idx, N)
     new_lm = feats.lm_idx.at[tgt].set(
         jnp.where(ok, prev_lm_idx, -1), mode="drop")
@@ -374,9 +404,23 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
     integral = None
     if imu is not None:
         gyro, accel, imu_dts, imu_mask = imu
-        integral = preintegrate(gyro, accel, imu_dts, imu_mask,
-                                bias_gyro=state.vio.bias_gyro,
-                                bias_accel=state.vio.bias_accel)
+        if cfg.imu_method == "basalt":
+            integral = preintegrate(gyro, accel, imu_dts, imu_mask,
+                                    bias_gyro=state.vio.bias_gyro,
+                                    bias_accel=state.vio.bias_accel)
+        else:
+            # continuous-time backend (lpm/ugpm ≡ `integrator.cpp:184-215`):
+            # midpoint timestamps reconstructed from the interval's dts
+            from zenslam_tpu.imu.continuous import preintegrate_continuous
+
+            d = jnp.where(imu_mask, imu_dts, 0.0)
+            tmid = jnp.cumsum(d) - 0.5 * d
+            t1 = jnp.sum(d)
+            integral = preintegrate_continuous(
+                tmid, gyro, accel, imu_mask, 0.0, t1,
+                n_grid=int(gyro.shape[0]), method=cfg.imu_method,
+                bias_gyro=state.vio.bias_gyro,
+                bias_accel=state.vio.bias_accel)
         R_pred, t_pred = _vio_predict(rig, state, integral, R_pred, t_pred)
 
     # ---- TRACK (temporal) ---------------------------------------------------
@@ -393,8 +437,7 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
     feats, n_detected, next_track_id = _detect_topup(cfg, img_l, feats, state.next_track_id)
 
     # ---- DESCRIBE -----------------------------------------------------------
-    desc, _ = orb_descriptors(img_l, feats.xy, feats.valid)
-    feats = feats._replace(desc=desc)
+    feats = feats._replace(desc=_compute_descriptors(cfg, img_l, feats))
 
     # ---- ASSOCIATE lost landmarks ------------------------------------------
     feats, n_assoc = _associate_landmarks(cfg, rig, feats, state.lmap, R_pred, t_pred)

@@ -307,10 +307,18 @@ def process_frame(sys: SlamSystem, img_l, img_r, imu=None):
         prev_slot = sys.last_kf_slot
         slot = int(sys.kf_db.next_slot)
         lm_clip = jnp.clip(feats.lm_idx, 0, None)
+        # back-end consumers (keyframe DB, BoW, loop PnP matching) are
+        # binary-code machinery; the float family crosses this boundary as
+        # LSH sign codes (ops/match.lsh_binarize — SimHash of the L2 space)
+        kf_desc = feats.desc
+        if sys.cfg.descriptor == "sift":
+            from zenslam_tpu.ops.match import lsh_binarize
+
+            kf_desc = lsh_binarize(feats.desc)
         sys.kf_db = kf_db_add(
             sys.kf_db, sys.state.R_cw, sys.state.t_cw,
             feats.xy, feats.lm_idx, feats.valid & (feats.lm_idx >= 0),
-            feats.desc, int(sys.state.frame_idx) - 1,
+            kf_desc, int(sys.state.frame_idx) - 1,
             kp_uvr=feats.uv_r, kp_stereo=feats.stereo_ok,
             kp_lm_gen=jnp.where(feats.lm_idx >= 0,
                                 sys.state.lmap.generation[lm_clip], -1),
@@ -334,7 +342,7 @@ def process_frame(sys: SlamSystem, img_l, img_r, imu=None):
             if sys.vocab is None:
                 # bootstrap vocabulary from the first keyframe's descriptors…
                 sys.vocab = build_vocabulary(
-                    jax.random.PRNGKey(7), feats.desc, feats.valid,
+                    jax.random.PRNGKey(7), kf_desc, feats.valid,
                     n_words=sys.bcfg.bow_words, iters=6,
                 )
             elif (not sys.vocab_retrained
