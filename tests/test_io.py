@@ -218,3 +218,58 @@ class TestOptionsAndTelemetry:
         assert stats["n_frames"] == 5
         assert stats["problems"]["low_tri"] == [2]
         assert stats["problem_fraction"] == 0.2
+
+
+class TestEurocRecipe:
+    """The checked-in EuRoC MH recipe (options/euroc_mh.yaml +
+    euroc_camchain.yaml + euroc_mh_expected.json) must stay loadable and
+    geometrically sane so the ATE-parity claim is executable the moment the
+    dataset is mounted (VERDICT r2 item 8)."""
+
+    def test_options_load(self):
+        from zenslam_tpu.config import load_options
+
+        opts = load_options("options/euroc_mh.yaml")
+        assert opts.folder.left == "cam0/data"
+        assert opts.folder.imu_file == "imu0/data.csv"
+        assert abs(opts.folder.timescale - 1e-9) < 1e-15
+        assert opts.slam.use_clahe is True
+        assert opts.backend.enable_loop_closure is True
+
+    def test_camchain_parses_and_rectifies(self):
+        from zenslam_tpu.io.calibration import (
+            load_kalibr_yaml, compute_rectify_maps)
+
+        rig, models = load_kalibr_yaml("options/euroc_camchain.yaml")
+        assert models == ("radtan", "radtan")
+        assert rig.left.width == 752 and rig.left.height == 480
+        # the known EuRoC stereo baseline is ~11.0 cm
+        assert abs(float(rig.baseline) - 0.1101) < 0.002
+        maps = compute_rectify_maps(rig, models)
+        assert np.isfinite(maps.left_x).all() and np.isfinite(maps.right_y).all()
+        assert float(maps.rig_rectified.baseline) > 0.09
+
+    def test_expected_metrics_schema(self):
+        import json
+
+        exp = json.load(open("options/euroc_mh_expected.json"))
+        for k in ["sequence", "ate_bound_mm", "rpe_bound_mm", "min_fps_tpu",
+                  "checked_with"]:
+            assert k in exp
+        assert exp["ate_bound_mm"] > 0
+
+    def test_sensor_realism_knobs_render(self):
+        """exposure_jitter/vignette produce the intended photometry."""
+        from zenslam_tpu.io.synthetic import make_sequence
+
+        rng = np.random.default_rng(7)
+        seq = make_sequence(rng, n_frames=3, width=128, height=96,
+                            vignette=0.5, exposure_jitter=0.3)
+        img = seq.left[0]
+        H, W = img.shape
+        centre = img[H//2-8:H//2+8, W//2-8:W//2+8].mean()
+        corner = img[:12, :12].mean()
+        assert corner < centre  # vignette darkens corners
+        # per-frame exposure flicker: frame means differ notably
+        means = [seq.left[i].mean() for i in range(3)]
+        assert np.std(means) > 0.01

@@ -362,6 +362,8 @@ def make_sequence(
     device_render: bool = False,
     pixel_noise: float = 0.0,
     orbit_radius: float = 1.5,
+    exposure_jitter: float = 0.0,
+    vignette: float = 0.0,
 ) -> SyntheticSequence:
     """Render a stereo sequence with known groundtruth.
 
@@ -374,6 +376,13 @@ def make_sequence(
     device_render: render on the JAX device (same math; use for long/large
     benchmark sequences — host rendering of 1024² frames takes seconds each).
     pixel_noise: additive Gaussian image noise σ (drives realistic VO drift).
+
+    Sensor-realism knobs (the photometric effects a real auto-exposure
+    global-shutter stereo rig exhibits — the 'hard' full-dress config):
+    exposure_jitter: per-frame, PER-CAMERA multiplicative gain σ (log-space)
+      — models exposure flicker; stresses CLAHE and descriptor matching.
+    vignette: radial intensity falloff at the image corners (0..1) — models
+      lens shading; breaks the brightness-constancy assumption off-center.
     """
     if motion == "orbit":
         world = make_room_world(rng)
@@ -419,6 +428,12 @@ def make_sequence(
     render = (
         (lambda w, c, R, t, h, ww: np.asarray(render_view_device(w, c, R, t, h, ww)))
         if device_render else render_view)
+    vig_map = None
+    if vignette > 0:
+        yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+        r2 = (((xx - width / 2) / (width / 2)) ** 2
+              + ((yy - height / 2) / (height / 2)) ** 2) / 2.0
+        vig_map = (1.0 - vignette * r2).astype(np.float32)
     lefts, rights, Rs, ts = [], [], [], []
     for i in range(n_frames):
         R_cw, t_cw = pose_fn(timestamps[i])
@@ -426,9 +441,19 @@ def make_sequence(
         t_rcw = R_rl @ t_cw + t_rl
         li = render(world, rig.left, R_cw, t_cw, height, width)
         ri = render(world, rig.right, R_rcw, t_rcw, height, width)
+        if vig_map is not None:
+            li = li * vig_map
+            ri = ri * vig_map
+        if exposure_jitter > 0:
+            # independent per-camera log-gain flicker
+            li = li * np.exp(rng.normal(0, exposure_jitter))
+            ri = ri * np.exp(rng.normal(0, exposure_jitter))
         if pixel_noise > 0:
-            li = np.clip(li + rng.normal(0, pixel_noise, li.shape), 0, 1).astype(np.float32)
-            ri = np.clip(ri + rng.normal(0, pixel_noise, ri.shape), 0, 1).astype(np.float32)
+            li = li + rng.normal(0, pixel_noise, li.shape)
+            ri = ri + rng.normal(0, pixel_noise, ri.shape)
+        if vignette > 0 or exposure_jitter > 0 or pixel_noise > 0:
+            li = np.clip(li, 0, 1).astype(np.float32)
+            ri = np.clip(ri, 0, 1).astype(np.float32)
         lefts.append(li)
         rights.append(ri)
         Rs.append(R_cw.astype(np.float32))
