@@ -72,6 +72,14 @@ class BackendConfig:
     vocab_retrain_kfs: int = 8
     # pose-graph edge capacity
     max_edges: int = 256
+    # host-spill landmark archive (SURVEY §5 map-scaling axis): landmarks
+    # recycled out of the fixed-capacity live table are archived on host and
+    # frustum-reloaded on revisit (backend/map_archive.py). Default on —
+    # costs one ~350 KB device->host read per KEYFRAME, restores the
+    # reference's never-forgets std::map semantics at fixed device memory.
+    enable_map_spill: bool = True
+    spill_reload_max: int = 128
+    spill_radius: float = 50.0     # ≡ `tracking_options.h:14` map radius cap
 
 
 @dataclass
@@ -84,6 +92,7 @@ class SlamSystem:
     state: SlamState
     kf_db: KeyframeDB
     bow_db: object
+    archive: object = None      # LandmarkArchive (host spill store)
     vocab: Optional[jnp.ndarray] = None
     # pose-graph edges (host lists; converted to arrays on demand)
     edge_i: list = field(default_factory=list)
@@ -100,11 +109,17 @@ class SlamSystem:
 
 def create_system(cfg: SlamConfig, bcfg: BackendConfig, rig: StereoRig,
                   image_shape, seed: int = 0) -> SlamSystem:
+    from zenslam_tpu.backend.map_archive import LandmarkArchive
+
+    desc_shape, desc_dtype = (((128,), np.float32)
+                              if cfg.descriptor == "sift"
+                              else ((8,), np.uint32))
     return SlamSystem(
         cfg=cfg, bcfg=bcfg, rig=rig,
         state=init_state(cfg, image_shape, seed=seed),
         kf_db=kf_db_init(bcfg.max_keyframes, cfg.max_keypoints),
         bow_db=bow_db_init(bcfg.max_keyframes, bcfg.bow_words),
+        archive=LandmarkArchive(desc_shape, desc_dtype),
     )
 
 
@@ -337,6 +352,20 @@ def process_frame(sys: SlamSystem, img_l, img_r, imu=None):
         # windowed BA (config[1]/[2])
         if sys.bcfg.ba_every_kf and prev_slot >= 0:
             backend_info["ba"] = _run_windowed_ba(sys)
+        # landmark spill/reload (map-scaling axis): archive the (BA-refined)
+        # live map, then pull archived landmarks back into the table when
+        # the camera revisits their region
+        if sys.bcfg.enable_map_spill and sys.archive is not None:
+            sys.archive.sync(sys.state.lmap)
+            new_lmap = sys.archive.reload(
+                sys.state.lmap, sys.state.R_cw, sys.state.t_cw,
+                sys.rig.left, int(sys.state.frame_idx),
+                reload_max=sys.bcfg.spill_reload_max,
+                radius=sys.bcfg.spill_radius)
+            if new_lmap is not sys.state.lmap:
+                sys.state = sys.state._replace(lmap=new_lmap)
+            backend_info["spill"] = {"archived": len(sys.archive),
+                                     "reloads": sys.archive.n_reloads}
         # loop closure (config[3])
         if sys.bcfg.enable_loop_closure:
             if sys.vocab is None:
