@@ -50,3 +50,55 @@ class TestOfflineChunks:
                                  n_chunks=1)
         np.testing.assert_allclose(out["t_cw"], np.asarray(tel.t_cw),
                                    atol=1e-5)
+
+
+class TestOfflineMultiprocess:
+    """True multi-PROCESS chunk execution (VERDICT r2 item 4): one OS
+    process per chunk. 2 workers must beat 1 on wall-clock, and the
+    stitched trajectory must match the in-process chunked run."""
+
+    @pytest.fixture(scope="class")
+    def seq(self):
+        return make_sequence(np.random.default_rng(11), n_frames=60,
+                             motion="arc", speed=0.35, width=320, height=240)
+
+    @pytest.fixture(scope="class")
+    def cfg(self):
+        return SlamConfig(max_keypoints=256, max_landmarks=4096)
+
+    def test_two_workers_beat_one_and_match(self, seq, cfg, tmp_path_factory):
+        import time
+
+        from zenslam_tpu.parallel import run_offline_multiprocess
+
+        wd = str(tmp_path_factory.mktemp("offline_mp"))
+        # cold run populates the shared persistent compile cache; the timed
+        # comparison below then measures the pipeline, not the compiler
+        run_offline_multiprocess(cfg, seq.rig, seq.left[:8], seq.right[:8],
+                                 n_workers=1, overlap=4, workdir=wd + "/warm")
+        t0 = time.time()
+        out1 = run_offline_multiprocess(cfg, seq.rig, seq.left, seq.right,
+                                        n_workers=1, overlap=4,
+                                        workdir=wd + "/w1")
+        t1 = time.time() - t0
+        t0 = time.time()
+        out2 = run_offline_multiprocess(cfg, seq.rig, seq.left, seq.right,
+                                        n_workers=2, overlap=4,
+                                        workdir=wd + "/w2")
+        t2 = time.time() - t0
+        print(f"offline mp wall-clock: 1 worker {t1:.1f}s, 2 workers {t2:.1f}s "
+              f"(speedup {t1 / t2:.2f}x)")
+        assert t2 < t1, (t1, t2)
+
+        gt = camera_positions(seq.R_lw, seq.t_lw)
+        ate1 = ate_rmse(camera_positions(out1["R_cw"], out1["t_cw"]), gt)
+        ate2 = ate_rmse(camera_positions(out2["R_cw"], out2["t_cw"]), gt)
+        # 2-worker stitched accuracy matches the single-chunk run up to
+        # the gauge-stitch tolerance
+        assert ate2 < max(3.0 * ate1, 0.03), (ate1, ate2)
+
+        # and the multiprocess path reproduces the in-process chunker
+        # (same chunking, same math, different processes)
+        ref = run_offline_chunks(cfg, seq.rig, seq.left, seq.right,
+                                 n_chunks=2, overlap=4)
+        np.testing.assert_allclose(out2["t_cw"], ref["t_cw"], atol=5e-3)

@@ -11,5 +11,7 @@ from zenslam_tpu.parallel.multihost import (
 )
 from zenslam_tpu.parallel.offline import (
     run_offline_chunks,
+    run_offline_multiprocess,
     split_chunks,
+    stitch_chunks,
 )
