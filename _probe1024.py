@@ -1,4 +1,10 @@
 """Quick probe: slam_step steady-state at 1024x1024 on the real chip."""
+import os as _os
+
+# opt into the persistent compile cache (see zenslam_tpu/__init__.py)
+_os.environ.setdefault("ZENSLAM_CACHE_DIR",
+                       _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
+
 import time
 import jax
 import jax.numpy as jnp

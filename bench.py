@@ -15,6 +15,12 @@ operating point — over 200 timed frames, and reports steady-state frames/s.
 A secondary 512x384 line (round-1 conditions) goes to stderr for continuity.
 """
 
+import os as _os
+
+# opt into the persistent compile cache (see zenslam_tpu/__init__.py)
+_os.environ.setdefault("ZENSLAM_CACHE_DIR",
+                       _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
+
 import json
 import sys
 import time

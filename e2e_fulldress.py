@@ -11,6 +11,12 @@ BA + loop machinery) → telemetry/trajectory/ATE. Prints the ATE/fps summary
 and exits nonzero if the regression bounds fail.
 """
 
+import os as _os
+
+# opt into the persistent compile cache (see zenslam_tpu/__init__.py)
+_os.environ.setdefault("ZENSLAM_CACHE_DIR",
+                       _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
+
 import argparse
 import csv
 import os
@@ -73,10 +79,11 @@ def main(argv=None):
             "calibration_file": os.path.join(args.root, "camchain.yaml"),
             "groundtruth_file": os.path.join(args.root, "groundtruth.csv"),
         },
-        # the hard config exercises the photometric-robustness features the
-        # default run leaves off (VERDICT r2 weak #6: one e2e config should
-        # run the fused path)
-        "slam": ({"use_clahe": True, "use_pose_fusion": True}
+        # the hard config exercises the features the default run leaves off
+        # (VERDICT r2 weak #6: one e2e config should run the fused +
+        # keylines path end-to-end)
+        "slam": ({"use_clahe": True, "use_pose_fusion": True,
+                  "use_keylines": True}
                  if args.hard else {}),
         "backend": {"ba_every_kf": True, "enable_loop_closure": True},
     }

@@ -1,5 +1,11 @@
 """Capture a device trace of slam_step and print the per-op device-time table
 (the data source for ROOFLINE.md). Usage: python profile_trace.py [--width W --height H]"""
+import os as _os
+
+# opt into the persistent compile cache (see zenslam_tpu/__init__.py)
+_os.environ.setdefault("ZENSLAM_CACHE_DIR",
+                       _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
+
 import glob
 import os
 import time

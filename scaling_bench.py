@@ -11,6 +11,12 @@ Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 python scaling_bench.py
 (or let the script set it before first backend use).
 """
 
+import os as _os
+
+# opt into the persistent compile cache (see zenslam_tpu/__init__.py)
+_os.environ.setdefault("ZENSLAM_CACHE_DIR",
+                       _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
+
 import os
 import time
 

@@ -24,6 +24,23 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Free compiled-executable state at module boundaries.
+
+    One pytest process compiles many hundreds of XLA programs over the full
+    suite; the accumulated compiler/executable state eventually segfaults
+    the CPU backend on the largest late-suite programs (observed
+    deterministically in test_system after ~200 green tests — the same
+    compile passes in a fresh process). Dropping the jit caches lets the
+    executables be collected and keeps the process bounded."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

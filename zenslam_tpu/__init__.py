@@ -30,16 +30,22 @@ import jax as _jax
 # matters for speed.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
-# Persistent compilation cache: TPU compiles in this environment are slow
-# (remote AOT service) and occasionally flaky — caching makes every process
-# after the first start in seconds. Override dir with ZENSLAM_CACHE_DIR.
+# Persistent compilation cache — OPT-IN via ZENSLAM_CACHE_DIR: TPU compiles
+# in this environment are slow (remote AOT service), so the TPU entry
+# scripts (bench.py, profile_*.py, e2e_fulldress.py) enable it; the offline
+# workers wire their own shared dir (parallel/offline.py). It must NOT be on
+# by default: serializing the largest multi-device CPU executables for the
+# cache write segfaults the process (observed deterministically on the
+# 8-virtual-device test suite's full-system program — jax 0.8/tsl zstd
+# path), which would take down any unsuspecting CPU run.
 import os as _os
 
-_cache_dir = _os.environ.get("ZENSLAM_CACHE_DIR", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
-try:
-    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+_cache_dir = _os.environ.get("ZENSLAM_CACHE_DIR", "")
+if _cache_dir:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 __version__ = "0.1.0"

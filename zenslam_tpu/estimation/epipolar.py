@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from zenslam_tpu.estimation.ransac import ransac_sample_indices
+from zenslam_tpu.geometry.polar import project_rank2
 from zenslam_tpu.geometry.triangulate import triangulate_dlt
 
 
@@ -58,8 +59,8 @@ def _smallest_eigvec_9(ATA, iters: int = 6):
     return jax.lax.fori_loop(0, iters, it, v)
 
 
-def _eight_point(pa, pb, w=None, enforce_essential: bool = False):
-    """8-point algorithm on (n,2)+(n,2) -> 3x3 F (or E with (1,1,0) spectrum)."""
+def _eight_point(pa, pb, w=None):
+    """8-point algorithm on (n,2)+(n,2) -> rank-2 3x3 F (unit Frobenius)."""
     n = pa.shape[0]
     if w is None:
         w = jnp.ones(n, pa.dtype)
@@ -79,14 +80,12 @@ def _eight_point(pa, pb, w=None, enforce_essential: bool = False):
     ) * w[:, None]
     ATA = A.T @ A
     F = _smallest_eigvec_9(ATA).reshape(3, 3)
-    # rank-2 (or essential) projection
-    U, S, Vt = jnp.linalg.svd(F)
-    if enforce_essential:
-        s = (S[0] + S[1]) * 0.5
-        S2 = jnp.array([1.0, 1.0, 0.0], pa.dtype) * s
-    else:
-        S2 = S.at[2].set(0.0)
-    F = U @ jnp.diag(S2) @ Vt
+    # rank-2 projection by smallest-triplet removal (geometry/polar.py) —
+    # fusable, unlike the batched-SVD custom call it replaces. The essential
+    # (1,1,0)-spectrum equalization is NOT applied per hypothesis: Sampson
+    # scoring is insensitive to the σ₁/σ₂ ratio of a rank-2 matrix, and the
+    # winner's recover_pose decomposition re-projects via its own SVD.
+    F = project_rank2(F)
     # denormalize
     F = Tb.T @ F @ Ta
     norm = jnp.linalg.norm(F)
@@ -94,12 +93,13 @@ def _eight_point(pa, pb, w=None, enforce_essential: bool = False):
 
 
 def fundamental_8pt(pa, pb, w=None):
-    return _eight_point(pa, pb, w, enforce_essential=False)
+    return _eight_point(pa, pb, w)
 
 
 def essential_8pt(na, nb, w=None):
-    """8-point on NORMALIZED image coordinates -> essential matrix."""
-    return _eight_point(na, nb, w, enforce_essential=True)
+    """8-point on NORMALIZED image coordinates -> essential matrix (rank-2;
+    the exact (1,1,0) spectrum is enforced by recover_pose's decomposition)."""
+    return _eight_point(na, nb, w)
 
 
 def _sampson_distance(F, pa, pb):

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from zenslam_tpu.geometry.lie import so3_exp, so3_hat, so3_orthonormalize
+from zenslam_tpu.geometry.polar import polar_so3
 from zenslam_tpu.estimation.ransac import ransac_sample_indices
 
 
@@ -91,12 +92,13 @@ def pnp_dlt(X, xn, w=None):
     behind = jnp.sum(jnp.where(lam < 0, w, 0.0))
     P = jnp.where(behind > front, -P, P)
     M = P[:, :3]
-    # project M (= scale * R with scale > 0 now) onto SO(3); singular values give scale
-    U, S, Vt = jnp.linalg.svd(M)
-    det = jnp.linalg.det(U @ Vt)
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], X.dtype)).at[2, 2].set(det)
-    R = U @ D @ Vt
-    scale = jnp.maximum(jnp.mean(S), 1e-12)
+    # project M (= scale * R with scale > 0 now) onto SO(3) by Newton–Schulz
+    # polar iteration — fusable, unlike the batched-SVD custom call it
+    # replaces (geometry/polar.py; cheirality fixed det(M) > 0 above, so the
+    # polar factor is a proper rotation; a rare reflection hypothesis simply
+    # scores zero inliers). The mean singular value tr(RᵀM)/3 is the scale.
+    R, scale = polar_so3(M)
+    scale = jnp.maximum(scale, 1e-12)
     t = P[:, 3] / scale
     return R, t
 

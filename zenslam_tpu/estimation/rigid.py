@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from zenslam_tpu.estimation.ransac import ransac_sample_indices
+from zenslam_tpu.geometry.polar import rotation_from_cov
 
 
 def umeyama(src, dst, w=None, with_scale: bool = False):
@@ -30,13 +31,15 @@ def umeyama(src, dst, w=None, with_scale: bool = False):
     sc = src - mu_s
     dc = dst - mu_d
     cov = (dc * w[:, None]).T @ sc / wsum  # (3,3)
-    U, S, Vt = jnp.linalg.svd(cov)
-    det = jnp.linalg.det(U @ Vt)
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], src.dtype)).at[2, 2].set(det)
-    R = U @ D @ Vt
+    # Horn quaternion rotation (geometry/polar.py) — always a proper
+    # rotation, correct on the rank-2 covariances of 3-point minimal
+    # samples, and fusable (replaces the batched-SVD custom call +
+    # reflection fix-up D = diag(1,1,det)).
+    R = rotation_from_cov(cov)
     if with_scale:
         var_s = jnp.sum(w[:, None] * sc * sc) / wsum
-        s = jnp.sum(S * jnp.diag(D)) / jnp.maximum(var_s, 1e-12)
+        # Umeyama scale: tr(D·S)/var = tr(Rᵀ·cov)/var for the optimal R
+        s = jnp.einsum("ij,ij->", R, cov) / jnp.maximum(var_s, 1e-12)
     else:
         s = jnp.asarray(1.0, src.dtype)
     t = mu_d - s * (R @ mu_s)

@@ -1,0 +1,153 @@
+"""Fusable small-matrix rotation extraction — SVD-free on the hot path.
+
+The estimation layer (`estimation/pnp.py`, `estimation/rigid.py`,
+`estimation/epipolar.py`) projects small matrices onto SO(3) / rank-2 inside
+vmapped RANSAC hypothesis batches (2x128 PnP DLTs, 128 Umeyama covs, 128
+eight-point F's per frame). `jnp.linalg.svd` on those (…,3,3) batches lowers
+to LAPACK-style custom calls + while-loops on TPU — ~2 ms/frame of
+latency-bound serial passes that XLA cannot fuse (measured via
+profile_trace.py, see ROOFLINE.md). Every routine here is plain
+elementwise/matmul arithmetic, so the whole hypothesis batch fuses into the
+surrounding RANSAC program.
+
+Reference parity note: these replace cv::SVDecomp-based rotation extraction
+(`utils/rigid_transform.cpp:12-78`, `point_estimator.cpp:233-296`) with
+numerically equivalent closed-form/iterative schemes; unit tests assert
+agreement with jnp.linalg.svd to f32 tolerance.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def polar_so3(M, iters: int = 9):
+    """Orthogonal polar factor of a (…,3,3) matrix by Newton–Schulz.
+
+    Returns (Q, s): Q the nearest orthogonal matrix (det ±1 follows det(M) —
+    callers that fixed the sign upstream, e.g. by cheirality, get a proper
+    rotation), s = tr(QᵀM)/3 = mean singular value (the DLT scale).
+
+    Frobenius pre-normalization puts every singular value in (0, 1], inside
+    the Newton–Schulz convergence region σ ∈ (0, √3); σ grows ~1.5x/step then
+    cubically, so ``iters`` = 9 covers condition numbers beyond anything a
+    sane DLT hypothesis produces. Rank-deficient inputs (σ_min = 0) stay
+    rank-deficient — such hypotheses score zero inliers downstream.
+    """
+    nrm = jnp.sqrt(jnp.sum(M * M, axis=(-2, -1), keepdims=True))
+    X = M / jnp.maximum(nrm, 1e-20)
+    eye = jnp.eye(3, dtype=M.dtype)
+    for _ in range(iters):
+        X = 1.5 * X - 0.5 * X @ (jnp.swapaxes(X, -1, -2) @ X)
+    s = jnp.einsum("...ij,...ij->...", X, M) / 3.0
+    return X, s
+
+
+def rotation_from_cov(cov, squarings: int = 10):
+    """Optimal rotation R maximizing tr(Rᵀ·cov) for cov = Σ wᵢ dᵢ sᵢᵀ
+    (dst·srcᵀ) — the Umeyama/Wahba rotation, ALWAYS a proper rotation.
+
+    Horn's unit-quaternion method (closed-form absolute orientation): the
+    optimum is the largest eigenvector of the symmetric 4x4 N(cov). Unlike
+    the SVD route (U·diag(1,1,det)·Vᵀ) this needs no reflection fix-up and
+    handles the rank-2 covariances that every 3-point minimal RANSAC sample
+    produces (where Newton–Schulz polar iteration would break: σ₃ = 0
+    stays 0).
+
+    The eigenvector comes from repeated squaring of B = N + ‖N‖_F·I
+    (normalized each squaring): B^(2^k) → λ₁^(2^k)·v₁v₁ᵀ, so ANY column with
+    non-trivial norm is the answer — immune to the orthogonal-start failure
+    of plain power iteration, and the convergence ratio squares per step:
+    10 squarings apply ratio^1024. Degenerate samples (λ₁ ≈ λ₂: collinear
+    points, ambiguous rotation) yield a blend that scores itself out of the
+    RANSAC vote.
+    """
+    A = cov
+    a = lambda i, j: A[..., i, j]
+    trA = a(0, 0) + a(1, 1) + a(2, 2)
+    # N(A): qᵀ N q = tr(R(q)·A)  [Horn 1987, eq. 39-40]
+    N = jnp.stack([
+        jnp.stack([trA, a(1, 2) - a(2, 1), a(2, 0) - a(0, 2), a(0, 1) - a(1, 0)], -1),
+        jnp.stack([a(1, 2) - a(2, 1), a(0, 0) - a(1, 1) - a(2, 2),
+                   a(0, 1) + a(1, 0), a(0, 2) + a(2, 0)], -1),
+        jnp.stack([a(2, 0) - a(0, 2), a(0, 1) + a(1, 0),
+                   a(1, 1) - a(0, 0) - a(2, 2), a(1, 2) + a(2, 1)], -1),
+        jnp.stack([a(0, 1) - a(1, 0), a(0, 2) + a(2, 0),
+                   a(1, 2) + a(2, 1), a(2, 2) - a(0, 0) - a(1, 1)], -1),
+    ], axis=-2)  # (..., 4, 4)
+    c = jnp.sqrt(jnp.sum(N * N, axis=(-2, -1), keepdims=True))
+    B = (N + c * jnp.eye(4, dtype=cov.dtype)) / jnp.maximum(c, 1e-30)
+    for _ in range(squarings):
+        B = B @ B
+        B = B / jnp.maximum(
+            jnp.sqrt(jnp.sum(B * B, axis=(-2, -1), keepdims=True)), 1e-30)
+    # dominant column (v₁ has ≥ 1/2 magnitude in some coordinate)
+    col_n = jnp.sum(B * B, axis=-2)                       # (..., 4)
+    pick = jax.nn.one_hot(jnp.argmax(col_n, axis=-1), 4, dtype=cov.dtype)
+    q = jnp.einsum("...ij,...j->...i", B, pick)
+    q = q / jnp.maximum(
+        jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True)), 1e-30)
+    # N(A)'s optimum satisfies tr(R(q)·A) max — i.e. R(q) = Rᵀ for our
+    # cov = Σ d sᵀ convention; transpose to return the d ≈ R s rotation.
+    return jnp.swapaxes(quat_to_rotation(q), -1, -2)
+
+
+def quat_to_rotation(q):
+    """(…,4) unit quaternion [w, x, y, z] -> (…,3,3) rotation."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1)
+    r1 = jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1)
+    r2 = jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1)
+    return jnp.stack([r0, r1, r2], axis=-2)
+
+
+def _inv3(A, eps: float = 0.0):
+    """Analytic (…,3,3) inverse via the adjugate — fusable, no custom call."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], -1),
+        jnp.stack([A21, A22, A23], -1),
+        jnp.stack([A31, A32, A33], -1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
+def smallest_eigvec_3(A, iters: int = 6, shift: float = 1e-4):
+    """Smallest eigenvector of a symmetric PSD (…,3,3) matrix by shifted
+    inverse iteration with the ANALYTIC 3x3 inverse (no Cholesky custom
+    call). Same separation rationale as `pnp.py:_smallest_eigvec_12` — the
+    callers' smallest eigenvalue is (near-)zero and well split (FᵀF of an
+    eight-point F has λ₃ ≈ 0; generic unseparated spectra converge slowly
+    and belong to degenerate hypotheses that score themselves out)."""
+    tr = A[..., 0, 0] + A[..., 1, 1] + A[..., 2, 2]
+    scale = jnp.maximum(tr / 3.0, 1e-20)[..., None, None]
+    eye = jnp.eye(3, dtype=A.dtype)
+    Ainv = _inv3(A / scale + shift * eye)
+    v = jnp.full(A.shape[:-2] + (3, 1), 1.0 / jnp.sqrt(3.0), A.dtype)
+    for _ in range(iters):
+        v = Ainv @ v
+        v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v, -2, keepdims=True)), 1e-30)
+    return v[..., 0]
+
+
+def project_rank2(F):
+    """Remove the smallest singular triplet of a (…,3,3) matrix:
+    F' = F(I − v₃v₃ᵀ) with v₃ the smallest right-singular vector — the
+    rank-2 projection the eight-point algorithm needs, without an SVD."""
+    FtF = jnp.swapaxes(F, -1, -2) @ F
+    v3 = smallest_eigvec_3(FtF)
+    return F - (F @ v3[..., None]) @ v3[..., None, :]

@@ -48,6 +48,15 @@ class SlamConfig(NamedTuple):
     # masked-convergence count on the XLA fallback.
     klt_radius: int = 10
     klt_iters: int = 5
+    # Pallas-path iteration schedule: coarse levels only need to land within
+    # the next level's convergence radius, which 3 Newton steps achieve
+    # (measured <2e-2 px drift vs the uniform schedule on the tracking
+    # parity scenes); the finest level keeps klt_iters for subpixel accuracy.
+    klt_coarse_iters: int = 3
+    # fwd-bwd consistency: the backward track starts AT the forward solution
+    # (init flow = -fwd flow), already inside the finest level's convergence
+    # basin, so it refines only the finest k levels (0 = full pyramid).
+    klt_bwd_levels: int = 1
     fb_threshold: float = 1.0
     epipolar_threshold: float = 2.0
     landmark_match_distance: int = 64  # hamming

@@ -87,9 +87,14 @@ def _lk_fb(cfg: SlamConfig, prev_pyr, next_pyr, tsizes, pts, valid, init_pts=Non
     prev_pyr/next_pyr: ragged level tuples; tsizes: static true level sizes.
     """
     if resolve_use_pallas(cfg):
+        # per-level Newton schedule + shallow backward pass (see
+        # ops/lk_pallas.py docstring) — halves the kernel's sample steps
+        iters = (cfg.klt_iters,) + (cfg.klt_coarse_iters,) * (len(tsizes) - 1)
         return lk_ragged_pallas(
             prev_pyr, next_pyr, pts, valid, init_pts=init_pts,
-            radius=cfg.klt_radius, iters=cfg.klt_iters,
+            radius=cfg.klt_radius, iters=iters,
+            bwd_levels=cfg.klt_bwd_levels,
+            compute_err=False,  # no pipeline consumer; fb check gates quality
             fb_threshold=cfg.fb_threshold, block=4, sizes=tsizes, unroll=True,
         )
     prev_stack, sizes = ragged_to_stacked(prev_pyr, tsizes)
@@ -139,11 +144,18 @@ def _match_desc(cfg: SlamConfig, da, db, va, vb, gate_mask):
 
 def _compute_descriptors(cfg: SlamConfig, img_l, feats: FeatureTable):
     """Descriptor-family dispatch for DESCRIBE (≡ the descriptor switch of
-    `keypoint_detector_simple.cpp:8-36`)."""
+    `keypoint_detector_simple.cpp:8-36`). The ORB path uses the Pallas
+    tile-sampler kernel on TPU (ops/orb_pallas.py — replaces ~2.6 ms/frame
+    of XLA gathers + dense moment maps) and the XLA gather path elsewhere."""
     if cfg.descriptor == "sift":
         from zenslam_tpu.ops.sift import sift_descriptors
 
         return sift_descriptors(img_l, feats.xy, feats.valid)
+    if resolve_use_pallas(cfg):
+        from zenslam_tpu.ops.orb_pallas import orb_descriptors_pallas
+
+        desc, _ = orb_descriptors_pallas(img_l, feats.xy, feats.valid)
+        return desc
     desc, _ = orb_descriptors(img_l, feats.xy, feats.valid)
     return desc
 
