@@ -100,15 +100,19 @@ class FolderReader:
 
     def _list(self, sub: str):
         d = os.path.join(self.root, sub)
-        names = sorted(os.listdir(d))
         out = []
-        for n in names:
+        for n in os.listdir(d):
             stem = n.rsplit(".", 1)[0]
             try:
                 ts = int(stem) * self.timescale
             except ValueError:
                 continue
             out.append((ts, os.path.join(d, n)))
+        # sort by NUMERIC timestamp, never by filename: lexicographic order
+        # breaks the moment stamps cross a digit boundary (e.g. 9.95 s →
+        # 10.0 s in ns names), which silently shuffles the sequence in time
+        # (real EuRoC zero-pads to 19 digits, arbitrary exports don't)
+        out.sort(key=lambda p: p[0])
         return out
 
     def has_imu(self) -> bool:

@@ -60,6 +60,9 @@ class SlamConfig(NamedTuple):
     fb_threshold: float = 1.0
     epipolar_threshold: float = 2.0
     landmark_match_distance: int = 64  # hamming
+    # ORB backend: "auto" = Pallas tile-sampler on TPU, XLA gather
+    # elsewhere; "xla" forces the gather path (A/B debugging)
+    orb_backend: str = "auto"
     # landmark association frustum cull (≡ `is_in_frustum`
     # `matching_utils.cpp:106-130` + 50 m map search radius
     # `tracking_options.h:14`)

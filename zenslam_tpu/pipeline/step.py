@@ -151,7 +151,7 @@ def _compute_descriptors(cfg: SlamConfig, img_l, feats: FeatureTable):
         from zenslam_tpu.ops.sift import sift_descriptors
 
         return sift_descriptors(img_l, feats.xy, feats.valid)
-    if resolve_use_pallas(cfg):
+    if cfg.orb_backend != "xla" and resolve_use_pallas(cfg):
         from zenslam_tpu.ops.orb_pallas import orb_descriptors_pallas
 
         desc, _ = orb_descriptors_pallas(img_l, feats.xy, feats.valid)
