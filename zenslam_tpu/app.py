@@ -116,8 +116,9 @@ def main(argv=None):
                 print(f"no calibration file — default rig for {W}x{H}")
             system = create_system(opts.slam, opts.backend, rig, il.shape)
         t0 = time.time()
+        # process_frame returns HOST telemetry (one packed transfer — every
+        # separate jax-scalar read costs a full tunnel round trip)
         tel, info = process_frame(system, il, ir, imu=imu)
-        jax.block_until_ready(tel.t_cw)
         dt_ms = (time.time() - t0) * 1000 + wait_ms
         telemetry.write(tel, timestamp=frame.timestamp, duration_ms=dt_ms,
                         wait_ms=wait_ms, step_ms=info["step_ms"],

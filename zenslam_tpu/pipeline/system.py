@@ -313,7 +313,12 @@ def process_frame(sys: SlamSystem, img_l, img_r, imu=None):
     t0 = _time.time()
     sys.state, tel = slam_step(sys.cfg, sys.rig, sys.state, img_l, img_r,
                                imu=imu)
-    jax.block_until_ready(tel.t_cw)
+    # ONE device→host transfer for everything the host reads this frame
+    # (each separate jax-scalar read is a ~25 ms tunnel round trip — see
+    # pack_telemetry); this fetch is also the step sync point.
+    from zenslam_tpu.pipeline.state import pack_telemetry, unpack_telemetry
+
+    tel = unpack_telemetry(pack_telemetry(tel))
     t1 = _time.time()
     backend_info = {"ba": None, "loop": False,
                     "step_ms": (t1 - t0) * 1000, "backend_ms": 0.0}
