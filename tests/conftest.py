@@ -18,7 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# ZENSLAM_TEST_TPU=1 leaves the default (axon TPU) platform in place so the
+# @pytest.mark.tpu compiled-kernel parity tests can run on the real chip
+# (scripts/tpu_kernel_parity.py); the normal suite always forces CPU.
+if os.environ.get("ZENSLAM_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
@@ -39,6 +43,13 @@ def _clear_jax_caches_between_modules():
 
     jax.clear_caches()
     gc.collect()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: needs a real TPU device (always skips in the CPU-forced suite; "
+        "run via scripts/tpu_kernel_parity.py)")
 
 
 @pytest.fixture(scope="session")

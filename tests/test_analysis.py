@@ -79,3 +79,66 @@ def test_analyze_frame_stats_consumes_same_csv(csv_path):
     stats = analyze_frame_stats(str(csv_path))
     assert stats["n_frames"] == 40
     assert 0.0 <= stats["problem_fraction"] <= 1.0
+
+
+class TestSceneExport:
+    """Headless 3D scene export ≡ the reference's VTK scene
+    (`vtk_scene_window.cpp:1-415`): colored PLY + self-contained HTML +
+    matplotlib snapshot, from a real (small) system run."""
+
+    @pytest.fixture(scope="class")
+    def scene_run(self, tmp_path_factory):
+        import jax.numpy as jnp
+
+        from zenslam_tpu.io.synthetic import make_sequence
+        from zenslam_tpu.pipeline.state import SlamConfig
+        from zenslam_tpu.pipeline.system import (
+            BackendConfig, create_system, run_system)
+
+        seq = make_sequence(np.random.default_rng(17), n_frames=8, width=256,
+                            height=192, motion="strafe", speed=0.4)
+        cfg = SlamConfig(max_keypoints=256, max_landmarks=2048,
+                         kf_min_frames=2, kf_min_translation=0.04)
+        sys = create_system(cfg, BackendConfig(ba_every_kf=False,
+                                               enable_loop_closure=False),
+                            seq.rig, seq.left[0].shape)
+        tel, _ = run_system(sys, seq.left, seq.right)
+        est = [-np.asarray(R).T @ np.asarray(t)
+               for R, t in zip(tel.R_cw, tel.t_cw)]
+        gt = [-seq.R_lw[i].T @ seq.t_lw[i] for i in range(8)]
+        out = str(tmp_path_factory.mktemp("scene"))
+        from zenslam_tpu.analysis.scene_export import export_scene
+
+        scene = export_scene(out, sys, est_positions=est, gt_positions=gt)
+        return out, scene, sys
+
+    def test_ply_roundtrip_with_sampled_colors(self, scene_run):
+        from zenslam_tpu.analysis.scene_export import read_ply
+
+        out, scene, sys = scene_run
+        pts, rgb = read_ply(os.path.join(out, "scene.ply"))
+        assert len(pts) == len(scene["points"]) > 100
+        np.testing.assert_allclose(pts, scene["points"], atol=1e-3)
+        # colors are SAMPLED intensities (≡ triangulator.cpp:74-103), not a
+        # constant fill — the textured scene must produce spread
+        assert rgb[:, 0].std() > 5
+        # gray: r == g == b
+        assert (rgb[:, 0] == rgb[:, 1]).all() and (rgb[:, 1] == rgb[:, 2]).all()
+
+    def test_html_self_contained(self, scene_run):
+        out, scene, _ = scene_run
+        html = open(os.path.join(out, "scene.html")).read()
+        assert "SCENE" in html and "frusta" in html
+        assert "http://" not in html and "https://" not in html, \
+            "scene.html must not depend on the network"
+        # landmark data is embedded
+        assert html.count("[") > len(scene["points"])
+
+    def test_png_written(self, scene_run):
+        out, _, _ = scene_run
+        p = os.path.join(out, "scene_3d.png")
+        assert os.path.exists(p) and os.path.getsize(p) > 20_000
+
+    def test_frusta_present(self, scene_run):
+        _, scene, sys = scene_run
+        assert len(scene["kf_R"]) == int(np.asarray(sys.kf_db.valid).sum())

@@ -70,7 +70,8 @@ class TestResume:
         """Full SlamSystem (keyframe DB + BoW + edges) resume parity."""
         cfg = _cfg()
         bcfg = BackendConfig(max_keyframes=8, ba_window=4, ba_iterations=4,
-                             enable_loop_closure=True, bow_words=32)
+                             enable_loop_closure=True, bow_levels=1,
+                             bow_words=32)
         H, W = seq.left[0].shape
         sys_a = create_system(cfg, bcfg, seq.rig, (H, W))
         run_system(sys_a, seq.left, seq.right)

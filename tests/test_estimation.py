@@ -466,3 +466,55 @@ class TestEigensolvers:
             ref = V[:, 0]
             err = min(np.linalg.norm(v[i] - ref), np.linalg.norm(v[i] + ref))
             assert err < 5e-2, (i, err)
+
+
+class TestInertialFusionWeight:
+    """The preintegration covariance doing work (r3 verdict task 4): the
+    inertial prediction joins pose fusion as a candidate weighted by its
+    propagated position uncertainty — a well-calibrated IMU pulls the fused
+    pose toward the prediction, inflated Allan densities neutralize it."""
+
+    def _fused_t(self, rng, sigma_p):
+        cam, K, X, R, t, uv = scene(rng, n=128, noise=0.5)
+        rig = make_test_rig()
+        dummyX = jnp.zeros((8, 3))
+        dummyU = jnp.zeros((8, 2))
+        t_pred = t + jnp.asarray([0.05, 0.0, 0.0])
+        est = estimate_pose_cascade(
+            jax.random.PRNGKey(0), rig,
+            X, uv, jnp.ones(128, bool),
+            dummyX, dummyU, jnp.zeros(8, bool),
+            dummyX, dummyX, jnp.zeros(8, bool),
+            R, t_pred, fuse=True,
+            pred_sigma_p=jnp.asarray(sigma_p, jnp.float32))
+        return np.asarray(est.t), np.asarray(t), np.asarray(t_pred)
+
+    def test_tight_covariance_pulls_toward_prediction(self):
+        rng = np.random.default_rng(5)
+        t_good, t_gt, t_pred = self._fused_t(rng, 1e-4)
+        rng = np.random.default_rng(5)
+        t_bad, _, _ = self._fused_t(rng, 10.0)
+        d_good = np.linalg.norm(t_good - t_pred)
+        d_bad = np.linalg.norm(t_bad - t_pred)
+        assert d_good < d_bad, (d_good, d_bad)
+
+    def test_inflated_noise_neutralizes_inertial(self):
+        rng = np.random.default_rng(6)
+        t_bad, t_gt, _ = self._fused_t(rng, 10.0)
+        np.testing.assert_allclose(t_bad, t_gt, atol=0.02)
+
+    def test_noise_densities_inflate_covariance(self):
+        """Configured Allan densities flow into the 9x9 covariance."""
+        from zenslam_tpu.imu.preintegration import ImuNoise, preintegrate
+        rng = np.random.default_rng(7)
+        T = 20
+        gyro = jnp.asarray(rng.normal(0, 0.1, (T, 3)), jnp.float32)
+        accel = jnp.asarray(rng.normal(0, 1.0, (T, 3)) + [0, -9.81, 0],
+                            jnp.float32)
+        dts = jnp.full((T,), 0.005, jnp.float32)
+        mask = jnp.ones((T,), bool)
+        c_lo = preintegrate(gyro, accel, dts, mask, noise=ImuNoise()).cov
+        c_hi = preintegrate(gyro, accel, dts, mask,
+                            noise=ImuNoise(gyro_noise=1.6e-2,
+                                           accel_noise=2.8e-1)).cov
+        assert float(jnp.trace(c_hi)) > 1e3 * float(jnp.trace(c_lo))

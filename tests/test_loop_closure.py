@@ -46,7 +46,7 @@ class TestLoopClosure:
         run_system(sys_off, seq.left, seq.right)
 
         bc_on = BackendConfig(ba_every_kf=False, enable_loop_closure=True,
-                              bow_words=512, bow_top_k=5, bow_min_score=0.20,
+                              bow_branch=32, bow_top_k=5, bow_min_score=0.20,
                               bow_min_frame_gap=15, loop_min_inliers=12)
         sys_on = create_system(CFG, bc_on, seq.rig, seq.left[0].shape)
         run_system(sys_on, seq.left, seq.right)

@@ -1,8 +1,10 @@
 """Parity tests: the Pallas ORB tile-sampler kernel (interpret mode on CPU)
 against the XLA gather implementation it replaces on TPU."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from zenslam_tpu.io.synthetic import smooth_texture
 from zenslam_tpu.ops.image import gaussian_blur
@@ -72,6 +74,48 @@ class TestOrbPallas:
         ham_xla = _hamming(np.asarray(x0), np.asarray(x1))
         assert np.median(ham) <= np.median(ham_xla) + 8
         assert np.median(ham) < 90  # far below the 128 random-bit distance
+
+    @pytest.mark.tpu
+    def test_compiled_tpu_matches_interpret(self):
+        """Mosaic-compiled kernel vs interpret mode on a border-heavy keypoint
+        set (ADVICE r3: bf16 one-hot MXU matmul, SMEM scalar I/O, and tile
+        clipping at image borders are asserted nowhere else). Skips unless a
+        real TPU is visible; `scripts/tpu_kernel_parity.py` runs it on the
+        chip outside the CPU-forced suite."""
+        try:
+            tpu = jax.devices("tpu")
+        except RuntimeError:
+            tpu = []
+        if not tpu:
+            pytest.skip("no TPU device in this process (suite forces CPU)")
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(smooth_texture(rng, 256, 320))
+        H, W = 256, 320
+        # border-heavy: half the points hug the edges of the valid margin
+        N = 64
+        inner = np.stack([rng.uniform(40, W - 40, N // 2),
+                          rng.uniform(40, H - 40, N // 2)], -1)
+        edge = np.stack([
+            np.concatenate([rng.uniform(17, 22, N // 4),
+                            rng.uniform(W - 22, W - 17, N // 4)]),
+            rng.uniform(17, H - 17, N // 2)], -1)
+        xy = jnp.asarray(np.concatenate([inner, edge]), jnp.float32)
+        valid = jnp.ones((N,), bool)
+        with jax.default_device(tpu[0]):
+            p_tpu, th_tpu = jax.tree.map(
+                np.asarray, orb_descriptors_pallas(img, xy, valid))
+        # interpret-mode reference on the HOST cpu device (interpret lowers
+        # to a huge dense HLO program — compiling that through the remote
+        # axon tunnel stalls for minutes)
+        with jax.default_device(jax.devices("cpu")[0]):
+            p_int, th_int = orb_descriptors_pallas(
+                jnp.asarray(np.asarray(img)), xy, valid, interpret=True)
+        ham = _hamming(np.asarray(p_tpu), np.asarray(p_int))
+        # compiled bf16 sampling may flip noise-dominated pairs only
+        assert ham.mean() < 16, ham.mean()
+        assert np.median(ham) < 12
+        dth = np.abs(np.angle(np.exp(1j * (np.asarray(th_tpu) - np.asarray(th_int)))))
+        assert np.median(dth) < 0.05
 
     def test_invalid_rows_zero(self):
         rng = np.random.default_rng(9)

@@ -28,6 +28,8 @@ def main(argv=None):
     ap.add_argument("--no-imu", action="store_true",
                     help="ignore the IMU stream (vision-only)")
     ap.add_argument("--take", type=int, default=0, help="override take_frames")
+    ap.add_argument("--no-scene", action="store_true",
+                    help="skip the 3D scene export (PLY/HTML/PNG)")
     ap.add_argument("--version", action="store_true")
     args = ap.parse_args(argv)
 
@@ -42,7 +44,8 @@ def main(argv=None):
 
     from zenslam_tpu.config import AllOptions, load_options, save_options
     from zenslam_tpu.io.dataset import FolderReader, Groundtruth
-    from zenslam_tpu.io.calibration import load_kalibr_yaml, compute_rectify_maps
+    from zenslam_tpu.io.calibration import (
+        load_kalibr_yaml, compute_rectify_maps, parse_imu_config)
     from zenslam_tpu.io.telemetry import TelemetryWriter
     from zenslam_tpu.io.synthetic import default_rig
     from zenslam_tpu.ops.image import remap
@@ -68,6 +71,23 @@ def main(argv=None):
               f"baseline {float(rig.baseline):.4f} m)")
     else:
         rig = None  # resolved after the first frame's shape is known
+
+    # IMU calibration (Kalibr imu_config.yaml ≡ `imu_calibration.h:21-67`):
+    # Allan noise densities flow into the preintegration covariance and the
+    # covariance-weighted inertial fusion candidate (SlamConfig.imu_* fields)
+    if opts.folder.imu_calibration_file:
+        import yaml
+
+        with open(opts.folder.imu_calibration_file) as f:
+            noise = parse_imu_config(yaml.safe_load(f) or {})
+        opts.slam = opts.slam._replace(
+            imu_gyro_noise=noise.gyro_noise,
+            imu_accel_noise=noise.accel_noise,
+            imu_gyro_bias_walk=noise.gyro_bias_walk,
+            imu_accel_bias_walk=noise.accel_bias_walk)
+        print(f"imu calibration: {opts.folder.imu_calibration_file} "
+              f"(gyro {noise.gyro_noise:.2e} rad/s/√Hz, "
+              f"accel {noise.accel_noise:.2e} m/s²/√Hz)")
 
     reader = FolderReader(
         root=opts.folder.root,
@@ -154,6 +174,16 @@ def main(argv=None):
         ate = ate_rmse(np.asarray(est_pos), np.asarray(gt_pos))
         rpe = rpe_rmse(np.asarray(est_pos), np.asarray(gt_pos))
         print(f"ATE RMSE: {ate * 1000:.1f} mm   RPE RMSE: {rpe * 1000:.1f} mm")
+    if system is not None and not args.no_scene:
+        # headless 3D scene ≡ the reference's VTK window
+        # (`vtk_scene_window.cpp:1-415`): colored landmark PLY + interactive
+        # HTML + matplotlib snapshot
+        from zenslam_tpu.analysis.scene_export import export_scene
+
+        scene = export_scene(opts.folder.output, system,
+                             est_positions=est_pos, gt_positions=gt_pos)
+        print(f"scene export: {len(scene['points'])} landmarks -> "
+              f"{opts.folder.output}/scene.{{ply,html}} + scene_3d.png")
     if args.options_file:
         save_options(opts, os.path.join(opts.folder.output, "effective_options.yaml"))
     return 0

@@ -35,7 +35,8 @@ from zenslam_tpu.frontend.tables import allocate_landmark_slots
 
 
 @functools.partial(jax.jit, static_argnames=())
-def reload_into_map(lmap, xyz, desc, valid, frame_idx, protect_recent: int = 2):
+def reload_into_map(lmap, xyz, desc, valid, frame_idx, color=None,
+                    protect_recent: int = 2):
     """Insert (reload_max,)-padded archived landmarks into free/LRU slots.
 
     Landmarks seen within the last ``protect_recent`` frames are protected
@@ -47,6 +48,8 @@ def reload_into_map(lmap, xyz, desc, valid, frame_idx, protect_recent: int = 2):
     slot, placed = allocate_landmark_slots(lmap.valid, lmap.last_seen,
                                            protect, score, valid)
     sl = jnp.where(placed, slot, lmap.valid.shape[0])
+    if color is None:
+        color = jnp.zeros(xyz.shape[0], jnp.float32)
     lmap = lmap._replace(
         xyz=lmap.xyz.at[sl].set(xyz, mode="drop"),
         desc=lmap.desc.at[sl].set(desc, mode="drop"),
@@ -54,6 +57,7 @@ def reload_into_map(lmap, xyz, desc, valid, frame_idx, protect_recent: int = 2):
         last_seen=lmap.last_seen.at[sl].set(frame_idx, mode="drop"),
         n_obs=lmap.n_obs.at[sl].set(1, mode="drop"),
         generation=lmap.generation.at[sl].add(1, mode="drop"),
+        color=lmap.color.at[sl].set(color, mode="drop"),
     )
     return lmap, slot, placed
 
@@ -64,6 +68,7 @@ class LandmarkArchive:
 
     def __init__(self, desc_shape=(8,), desc_dtype=np.uint32):
         self.xyz = np.zeros((0, 3), np.float32)
+        self.color = np.zeros(0, np.float32)
         self.desc = np.zeros((0,) + tuple(desc_shape), desc_dtype)
         self.dormant = np.zeros(0, bool)       # True = not in the live map
         self._key_to_row = {}                  # (slot, generation) -> row
@@ -83,6 +88,7 @@ class LandmarkArchive:
         xyz = np.asarray(lmap.xyz)
         desc = np.asarray(lmap.desc)
         gen = np.asarray(lmap.generation)
+        col = np.asarray(lmap.color)
 
         live_keys = set()
         new_rows = []
@@ -91,7 +97,7 @@ class LandmarkArchive:
             live_keys.add(key)
             row = self._key_to_row.get(key)
             if row is None:
-                new_rows.append((key, xyz[slot], desc[slot]))
+                new_rows.append((key, xyz[slot], desc[slot], col[slot]))
             else:
                 self.xyz[row] = xyz[slot]      # BA refinements flow in
         if new_rows:
@@ -100,9 +106,11 @@ class LandmarkArchive:
                 [self.xyz, np.stack([r[1] for r in new_rows])])
             self.desc = np.concatenate(
                 [self.desc, np.stack([r[2] for r in new_rows])])
+            self.color = np.concatenate(
+                [self.color, np.asarray([r[3] for r in new_rows], np.float32)])
             self.dormant = np.concatenate(
                 [self.dormant, np.zeros(len(new_rows), bool)])
-            for i, (key, _, _) in enumerate(new_rows):
+            for i, (key, *_rest) in enumerate(new_rows):
                 self._key_to_row[key] = base + i
                 self._row_key.append(key)
         # recycled slots: key no longer current -> dormant
@@ -152,11 +160,14 @@ class LandmarkArchive:
         desc_b = np.concatenate([self.desc[cand],
                                  np.zeros((pad,) + self.desc.shape[1:],
                                           self.desc.dtype)])
+        col_b = np.concatenate([self.color[cand],
+                                np.zeros(pad, np.float32)])
         valid_b = np.concatenate([np.ones(len(cand), bool),
                                   np.zeros(pad, bool)])
         new_lmap, slot, placed = reload_into_map(
             lmap, jnp.asarray(xyz_b), jnp.asarray(desc_b),
-            jnp.asarray(valid_b), jnp.asarray(int(frame_idx), jnp.int32))
+            jnp.asarray(valid_b), jnp.asarray(int(frame_idx), jnp.int32),
+            color=jnp.asarray(col_b))
         placed_np = np.asarray(placed)
         slot_np = np.asarray(slot)
         gen = np.asarray(new_lmap.generation)

@@ -64,6 +64,14 @@ def estimate_pose_cascade(
     # recovery; None disables the essential fallback (method 3)
     p2a=None, p2b=None, valid2=None, X2_prev_cam=None, has3d2=None,
     R_prev=None, t_prev=None,
+    # 1-sigma position uncertainty (meters) of the PREDICTED pose, from the
+    # preintegration's propagated 9x9 covariance (imu/preintegration.py).
+    # When given (VIO branch) the prediction joins pose fusion as its own
+    # candidate, weighted by exp(-sigma/0.1 m) — a well-calibrated IMU pulls
+    # the fused pose toward the inertial prediction, an inflated-noise one
+    # contributes ~nothing (≡ making `integral.cov` do work; the reference
+    # computes the same covariance and drops it, `integrator.cpp:86-156`).
+    pred_sigma_p=None,
     pnp_threshold: float = 3.0,
     rigid_threshold: float = 0.05,
     essential_threshold: float = 1.5,
@@ -159,6 +167,7 @@ def estimate_pose_cascade(
             return (n / jnp.maximum(jnp.sum(v), 1)).astype(f32)
 
         n2v = valid2 if use_2d2d else jnp.zeros((1,), bool)
+        use_inertial = pred_sigma_p is not None
         oks = jnp.stack([ok0, ok1, ok2, ok3])
         # sanitize: a FAILED solver may emit NaN R/t (degenerate hypotheses);
         # its weight is 0 but 0*NaN = NaN would poison the fused translation.
@@ -170,25 +179,43 @@ def estimate_pose_cascade(
                              r2["mean_err"], e3]).astype(f32)
         n_stack = jnp.stack([r0["n_inliers"], r1["n_inliers"],
                              r2["n_inliers"], n3])
-        cands = PoseCandidate(
-            R=R_stack,
-            t=t_stack,
-            inlier_ratio=jnp.stack([
-                ratio(r0["n_inliers"], valid0), ratio(r1["n_inliers"], valid1),
-                ratio(r2["n_inliers"], valid3d), ratio(n3, n2v)]),
-            mean_err=e_stack,
-            n_inliers=n_stack,
-            is_line=jnp.zeros((4,), bool),
-            valid=oks,
-        )
+        ratios = jnp.stack([
+            ratio(r0["n_inliers"], valid0), ratio(r1["n_inliers"], valid1),
+            ratio(r2["n_inliers"], valid3d), ratio(n3, n2v)])
         # per-method error scales ≡ the reference's compute_weight
         # (`pose_fusion.cpp:11-61`): 0.1 m for the 3D-3D rigid candidate
         # (meters), 3.0 px for the pixel-residual methods.
         err_scales = jnp.array([3.0, 3.0, 0.1, 3.0], jnp.float32)
+        if use_inertial:
+            # inertial candidate: mean_err = sigma_p (meters) on the 0.1 m
+            # scale; no inliers/ratio (it measured nothing visual)
+            t_stack = jnp.concatenate([t_stack, t_pred[None]], 0)
+            R_stack = jnp.concatenate([R_stack, R_pred[None]], 0)
+            e_stack = jnp.concatenate(
+                [e_stack, jnp.asarray(pred_sigma_p, f32)[None]], 0)
+            n_stack = jnp.concatenate(
+                [n_stack, jnp.zeros((1,), n_stack.dtype)], 0)
+            ratios = jnp.concatenate([ratios, jnp.zeros((1,), f32)], 0)
+            oks = jnp.concatenate(
+                [oks, jnp.isfinite(jnp.asarray(pred_sigma_p))[None]], 0)
+            err_scales = jnp.concatenate(
+                [err_scales, jnp.asarray([0.1], jnp.float32)], 0)
+        M = e_stack.shape[0]
+        cands = PoseCandidate(
+            R=R_stack,
+            t=t_stack,
+            inlier_ratio=ratios,
+            mean_err=e_stack,
+            n_inliers=n_stack,
+            is_line=jnp.zeros((M,), bool),
+            valid=oks,
+        )
         R_f, t_f, conf, _cov, best = fuse_poses(cands, err_scale=err_scales)
         any_ok = ok0 | ok1 | ok2 | ok3
         R = jnp.where(any_ok, so3_orthonormalize(R_f), R)
         t = jnp.where(any_ok, t_f, t)
+        # note: with the inertial candidate, best == 4 reports as method 4
+        # (the "predicted pose" bucket) in telemetry — honest labeling
     method = jnp.where(ok0, 0, jnp.where(ok1, 1, jnp.where(
         ok2, 2, jnp.where(ok3, 3, 4)))).astype(jnp.int32)
     ok = ok0 | ok1 | ok2 | ok3

@@ -133,17 +133,22 @@ def make_room_world(rng: np.random.Generator, tex_size: int = 1024,
 
 
 def render_view(world: PlaneWorld, cam: PinholeCamera, R_cw: np.ndarray, t_cw: np.ndarray,
-                height: int, width: int) -> np.ndarray:
+                height: int, width: int, rays_cam: np.ndarray = None) -> np.ndarray:
     """Render one camera view by ray-plane intersection + texture lookup.
 
     Host-side numpy (data generation is host work, ≡ the reference's disk
     reader thread); returns float32 (H, W) in [0,1].
+
+    rays_cam: optional (H, W, 3) per-pixel camera-frame ray directions —
+    pass the UNDISTORTED rays of a distorted camera model to render through
+    a real (e.g. EuRoC radtan) lens; default is the pinhole grid.
     """
     fx, fy, cx, cy = float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy)
     R_wc = R_cw.T
     c = -R_wc @ t_cw  # camera center in world
-    u, v = np.meshgrid(np.arange(width, dtype=np.float32), np.arange(height, dtype=np.float32))
-    rays_cam = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], axis=-1)
+    if rays_cam is None:
+        u, v = np.meshgrid(np.arange(width, dtype=np.float32), np.arange(height, dtype=np.float32))
+        rays_cam = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], axis=-1)
     rays_w = rays_cam @ R_wc.T  # (H, W, 3)
 
     img = np.zeros((height, width), np.float32)
@@ -362,6 +367,7 @@ def make_sequence(
     device_render: bool = False,
     pixel_noise: float = 0.0,
     orbit_radius: float = 1.5,
+    orbit_revolutions: float = 1.0,
     exposure_jitter: float = 0.0,
     vignette: float = 0.0,
 ) -> SyntheticSequence:
@@ -411,9 +417,12 @@ def make_sequence(
             c_w = np.array([0.0, 0.0, s])
             R_wc = np.eye(3)
         elif motion == "orbit":
-            # one full revolution over the sequence, camera looking radially
-            # outward at the room walls; frame T-1 ≈ frame 0 (closed loop)
-            theta = 2.0 * np.pi * t / (n_frames * dt)
+            # `orbit_revolutions` revolutions over the sequence, camera
+            # looking radially outward at the room walls; one revolution
+            # closes the loop once (frame T-1 ≈ frame 0), >1 revisits every
+            # view once per extra revolution — the place-recognition
+            # precision/recall workload
+            theta = 2.0 * np.pi * orbit_revolutions * t / (n_frames * dt)
             c_w = orbit_radius * np.array([np.sin(theta), 0.0, np.cos(theta)])
             R_wc = _np_so3_exp(np.array([0.0, theta, 0.0]))
         else:  # arc
@@ -593,3 +602,86 @@ def export_dataset(seq: "SyntheticSequence", root: str) -> None:
                 rows.append([ns, *seq.gyro[i, k], *seq.accel[i, k]])
         np.savetxt(os.path.join(root, "imu0/data.csv"), np.asarray(rows),
                    delimiter=",", fmt=["%d"] + ["%.9f"] * 6)
+
+
+def distorted_camera_rays(cam: PinholeCamera, model: str = "radtan") -> np.ndarray:
+    """Per-pixel camera-frame ray directions of a DISTORTED camera.
+
+    For each pixel of the real (distorted) image, invert the projection:
+    normalized-distorted -> normalized-undistorted -> ray [x, y, 1].
+    ≡ the geometry cv::initUndistortRectifyMap inverts
+    (`calibration.cpp:144-240`); used to render synthetic imagery through a
+    real camchain (EuRoC radtan) for the rectification-path e2e."""
+    import jax.numpy as jnp
+
+    from zenslam_tpu.geometry.camera import undistort_points_radtan
+
+    if model not in ("radtan",):
+        raise NotImplementedError(f"distorted rendering for model {model!r}")
+    H, W = int(cam.height), int(cam.width)
+    fx, fy = float(cam.fx), float(cam.fy)
+    cx, cy = float(cam.cx), float(cam.cy)
+    u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                       np.arange(H, dtype=np.float32))
+    xd = np.stack([(u - cx) / fx, (v - cy) / fy], axis=-1).reshape(-1, 2)
+    xu = np.asarray(undistort_points_radtan(cam.dist, jnp.asarray(xd)))
+    rays = np.concatenate([xu, np.ones((xu.shape[0], 1), np.float32)],
+                          axis=-1)
+    return rays.reshape(H, W, 3)
+
+
+def make_distorted_sequence(
+    rng: np.random.Generator,
+    rig_raw: StereoRig,
+    models=("radtan", "radtan"),
+    n_frames: int = 12,
+    motion: str = "strafe",
+    dt: float = 0.1,
+    speed: float = 0.25,
+    pixel_noise: float = 0.0,
+) -> SyntheticSequence:
+    """Render a stereo sequence through a REAL (distorted) camchain rig —
+    e.g. the shipped EuRoC calibration (`options/euroc_camchain.yaml`).
+
+    The returned images are in the DISTORTED camera geometry, so an app run
+    with `folder.calibration_file` pointing at the same camchain exercises
+    the full rectification path (`calibration.cpp:33-240` parity) before the
+    tracker ever sees a pixel. Groundtruth poses are the left camera's.
+    """
+    world = make_corridor_world(rng)
+    H, W = int(rig_raw.left.height), int(rig_raw.left.width)
+    rays_l = distorted_camera_rays(rig_raw.left, models[0])
+    rays_r = distorted_camera_rays(rig_raw.right, models[1])
+    R_rl = np.asarray(rig_raw.R_rl, np.float64)
+    t_rl = np.asarray(rig_raw.t_rl, np.float64)
+
+    timestamps = np.arange(n_frames, dtype=np.float64) * dt
+    lefts, rights, Rs, ts = [], [], [], []
+    for i in range(n_frames):
+        s = timestamps[i] * speed
+        if motion == "strafe":
+            c_w = np.array([s, 0.0, 0.0])
+            R_wc = np.eye(3)
+        else:  # slow forward arc
+            c_w = np.array([0.6 * s, 0.0, 0.4 * s])
+            R_wc = np.eye(3)
+        R_cw = R_wc.T
+        t_cw = -R_cw @ c_w
+        R_rcw = R_rl @ R_cw
+        t_rcw = R_rl @ t_cw + t_rl
+        li = render_view(world, rig_raw.left, R_cw, t_cw, H, W,
+                         rays_cam=rays_l)
+        ri = render_view(world, rig_raw.right, R_rcw, t_rcw, H, W,
+                         rays_cam=rays_r)
+        if pixel_noise > 0:
+            li = np.clip(li + rng.normal(0, pixel_noise, li.shape), 0, 1)
+            ri = np.clip(ri + rng.normal(0, pixel_noise, ri.shape), 0, 1)
+        lefts.append(li.astype(np.float32))
+        rights.append(ri.astype(np.float32))
+        Rs.append(R_cw.astype(np.float32))
+        ts.append(t_cw.astype(np.float32))
+    return SyntheticSequence(
+        left=np.stack(lefts), right=np.stack(rights),
+        R_lw=np.stack(Rs), t_lw=np.stack(ts),
+        timestamps=timestamps, rig=rig_raw,
+    )

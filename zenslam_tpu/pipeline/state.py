@@ -120,6 +120,16 @@ class SlamConfig(NamedTuple):
     # "basalt" (per-sample manifold scan), "lpm" (linear continuous-time
     # resample), "ugpm" (GP posterior resample — denoises noisy IMUs)
     imu_method: str = "basalt"
+    # Allan-variance noise densities ≡ the Kalibr `imu_config.yaml` fields the
+    # reference parses (`calibration/imu_calibration.h:21-67`). Loaded from
+    # `folder.imu_calibration_file` by the app (io/calibration.parse_imu_config)
+    # and consumed twice: the preintegration covariance propagation
+    # (imu/preintegration.py) and the covariance-weighted inertial candidate
+    # in pose fusion (estimation/cascade.py).
+    imu_gyro_noise: float = 1.6e-4        # rad/s/√Hz
+    imu_accel_noise: float = 2.8e-3      # m/s²/√Hz
+    imu_gyro_bias_walk: float = 1.9e-5   # rad/s²/√Hz
+    imu_accel_bias_walk: float = 8.6e-4  # m/s³/√Hz
     # LK implementation: None = auto (Pallas kernel on TPU, scanned XLA on CPU)
     use_pallas_lk: bool | None = None
     # keylines (`slam_options::use_keylines`, `keyline_detector.cpp`,
@@ -188,6 +198,10 @@ class LandmarkMap(NamedTuple):
     # the reference's monotone global indices can never be recycled
     # (`types/map.h`), this is the fixed-capacity equivalent of that safety.
     generation: jnp.ndarray  # (M,) int32
+    # intensity sampled at triangulation ≡ the per-point BGR sampling of
+    # `mapping/triangulator.cpp:74-103` (the sensor here is grayscale) —
+    # what makes the exported point cloud renderable (analysis/scene_export)
+    color: jnp.ndarray       # (M,) float32 in [0, 1]
 
 
 class VioState(NamedTuple):
@@ -379,6 +393,7 @@ def empty_landmarks(cfg: SlamConfig) -> LandmarkMap:
         last_seen=jnp.full(m, -1, jnp.int32),
         n_obs=jnp.zeros(m, jnp.int32),
         generation=jnp.zeros(m, jnp.int32),
+        color=jnp.zeros(m, jnp.float32),
     )
 
 

@@ -416,8 +416,17 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
     integral = None
     if imu is not None:
         gyro, accel, imu_dts, imu_mask = imu
+        # Allan noise densities from calibration (`imu_calibration.h:21-67`)
+        # drive the 9x9 covariance propagation
+        from zenslam_tpu.imu.preintegration import ImuNoise
+
+        imu_noise = ImuNoise(
+            gyro_noise=cfg.imu_gyro_noise, accel_noise=cfg.imu_accel_noise,
+            gyro_bias_walk=cfg.imu_gyro_bias_walk,
+            accel_bias_walk=cfg.imu_accel_bias_walk)
         if cfg.imu_method == "basalt":
             integral = preintegrate(gyro, accel, imu_dts, imu_mask,
+                                    noise=imu_noise,
                                     bias_gyro=state.vio.bias_gyro,
                                     bias_accel=state.vio.bias_accel)
         else:
@@ -431,9 +440,19 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
             integral = preintegrate_continuous(
                 tmid, gyro, accel, imu_mask, 0.0, t1,
                 n_grid=int(gyro.shape[0]), method=cfg.imu_method,
+                noise=imu_noise,
                 bias_gyro=state.vio.bias_gyro,
                 bias_accel=state.vio.bias_accel)
         R_pred, t_pred = _vio_predict(rig, state, integral, R_pred, t_pred)
+
+    # propagated 1-sigma position uncertainty of the inertial prediction —
+    # the 9x9 covariance's dp block doing work (fed to pose fusion as the
+    # inertial candidate's weight; ≡ the covariance the reference computes
+    # and drops, `integrator.cpp:86-156`)
+    pred_sigma_p = None
+    if integral is not None:
+        pred_sigma_p = jnp.sqrt(jnp.maximum(
+            jnp.trace(integral.cov[6:9, 6:9]) / 3.0, 1e-18))
 
     # ---- TRACK (temporal) ---------------------------------------------------
     prev_xy = state.features.xy          # 2D-2D pairs for the essential
@@ -536,6 +555,7 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
         pnp_iters=cfg.pnp_iters,
         rigid_iters=cfg.rigid_iters,
         fuse=cfg.use_pose_fusion,
+        pred_sigma_p=pred_sigma_p,
         **ess_kwargs,
     )
     R_cw, t_cw = est.R, est.t
@@ -554,6 +574,18 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
     slot, placed = allocate_landmark_slots(lmap.valid, lmap.last_seen, protect,
                                            cand_score, new_lm_cand)
     sl = jnp.where(placed, slot, lmap.valid.shape[0])
+    # per-landmark intensity at the keypoint (≡ triangulator.cpp:74-103
+    # color sampling; gray sensor -> scalar intensity)
+    xi = jnp.clip(feats.xy[:, 0], 0.0, img_l.shape[1] - 1.001)
+    yi = jnp.clip(feats.xy[:, 1], 0.0, img_l.shape[0] - 1.001)
+    x0 = jnp.floor(xi).astype(jnp.int32)
+    y0 = jnp.floor(yi).astype(jnp.int32)
+    fxs, fys = xi - x0, yi - y0
+    imf = img_l.astype(jnp.float32)
+    inten = (imf[y0, x0] * (1 - fxs) * (1 - fys)
+             + imf[y0, x0 + 1] * fxs * (1 - fys)
+             + imf[y0 + 1, x0] * (1 - fxs) * fys
+             + imf[y0 + 1, x0 + 1] * fxs * fys)
     lmap = lmap._replace(
         xyz=lmap.xyz.at[sl].set(X_w_new, mode="drop"),
         desc=lmap.desc.at[sl].set(feats.desc, mode="drop"),
@@ -561,6 +593,7 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
         last_seen=lmap.last_seen.at[sl].set(state.frame_idx, mode="drop"),
         n_obs=lmap.n_obs.at[sl].set(1, mode="drop"),
         generation=lmap.generation.at[sl].add(1, mode="drop"),
+        color=lmap.color.at[sl].set(inten, mode="drop"),
     )
     feats = feats._replace(lm_idx=jnp.where(placed, slot, feats.lm_idx))
     # observed landmarks: bump last_seen/n_obs. The reference keeps the
