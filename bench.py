@@ -55,12 +55,72 @@ def run_fps(width, height, n_frames, n_warmup=8, seed=11):
     return fps, tel
 
 
+def run_full_system_fps(width, height, n_frames, n_warmup=10, seed=11):
+    """FULL-SYSTEM rate: per-frame step + keyframe back-end (windowed BA,
+    loop-closure gate, landmark spill/reload) — the apples-to-apples number
+    vs the reference's 0.063 s, whose live loop includes everything it does
+    per frame (`slam_thread.cpp:63-245`)."""
+    from zenslam_tpu.io.synthetic import make_sequence
+    from zenslam_tpu.pipeline import SlamConfig
+    from zenslam_tpu.pipeline.system import (
+        BackendConfig, create_system, process_frame)
+
+    seq = make_sequence(np.random.default_rng(seed), n_frames=n_frames,
+                        width=width, height=height, motion="arc", speed=0.5,
+                        device_render=True)
+    cfg = SlamConfig()
+    left = [jax.device_put(f) for f in seq.left]
+    right = [jax.device_put(f) for f in seq.right]
+    from zenslam_tpu.pipeline.system import flush_pipeline
+
+    # PASS 1 (untimed): a full run on a throwaway system compiles every
+    # backend program the sequence will trigger (first BA, loop gate, vocab
+    # bootstrap AND mid-run retrain) — first compiles cost seconds over the
+    # tunnel and belong to the compiler, not the sustained rate. (Across app
+    # runs the persistent cache removes them entirely.)
+    warm_sys = create_system(cfg, BackendConfig(telemetry_lag=3), seq.rig,
+                             (height, width))
+    for t in range(n_frames):
+        process_frame(warm_sys, left[t], right[t])
+    flush_pipeline(warm_sys)
+    jax.block_until_ready(warm_sys.state.t_cw)
+
+    # PASS 2 (timed): a FRESH system over the same frames, wall-clock over
+    # the whole sequence including the final pipeline drain — every queued
+    # device op is paid for inside the measurement.
+    sysm = create_system(cfg, BackendConfig(telemetry_lag=3), seq.rig,
+                         (height, width))
+    backend_ms = []
+    for t in range(n_warmup):
+        process_frame(sysm, left[t], right[t])
+    jax.block_until_ready(sysm.state.t_cw)
+    t0 = time.perf_counter()
+    for t in range(n_warmup, n_frames):
+        _, info = process_frame(sysm, left[t], right[t])
+        if info["backend_ms"] > 0:
+            backend_ms.append(info["backend_ms"])
+    for _, info in flush_pipeline(sysm):
+        if info["backend_ms"] > 0:
+            backend_ms.append(info["backend_ms"])
+    jax.block_until_ready(sysm.state.t_cw)
+    dt = time.perf_counter() - t0
+    fps = (n_frames - n_warmup) / dt
+    med_backend = float(np.median(backend_ms)) if backend_ms else 0.0
+    return fps, med_backend, len(backend_ms)
+
+
 def main():
     baseline_fps = 1.0 / 0.063  # reference: 0.063 s/frame (BASELINE.md)
 
     fps_small, _ = run_fps(512, 384, 60)
     print(f"secondary 512x384: {fps_small:.2f} fps "
           f"(vs_baseline {fps_small / baseline_fps:.3f})", file=sys.stderr)
+
+    fps_full, med_backend, n_kf = run_full_system_fps(1024, 1024, 80)
+    print(f"full-system 1024x1024 (70 timed frames, backend on): "
+          f"{fps_full:.2f} fps, {n_kf} keyframes, median backend "
+          f"{med_backend:.1f} ms/kf (vs_baseline "
+          f"{fps_full / baseline_fps:.3f})", file=sys.stderr)
 
     fps, tel = run_fps(1024, 1024, 208)
     print(f"primary 1024x1024 (200 timed frames): {fps:.2f} fps, "

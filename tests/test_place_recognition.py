@@ -169,3 +169,50 @@ class TestLoopPrecisionRecall:
             return np.linalg.norm((-R.T @ t) - cg)
 
         assert err(sys_on) < err(sys_off)
+
+
+class TestFloatPathLoopClosure:
+    """Loop closure through the LSH crossing (r3 verdict Weak #6): the SIFT
+    float family enters the keyframe DB/BoW/loop matching as SimHash sign
+    codes (`ops/match.lsh_binarize`) — loops must still fire, and the recall
+    cost of the quantization is measured against the native ORB path on the
+    same trajectory."""
+
+    @pytest.fixture(scope="class")
+    def seq(self):
+        return make_sequence(np.random.default_rng(21), n_frames=96,
+                             width=320, height=240, motion="orbit",
+                             pixel_noise=0.01, orbit_radius=1.0,
+                             orbit_revolutions=1.5)
+
+    def _run(self, seq, descriptor):
+        cfg = SlamConfig(max_keypoints=256, max_landmarks=4096,
+                         kf_min_frames=2, kf_min_translation=0.05,
+                         descriptor=descriptor,
+                         detector="harris" if descriptor == "sift" else "fast")
+        bc = BackendConfig(ba_every_kf=False, enable_loop_closure=True,
+                           bow_levels=2, bow_branch=32, bow_min_score=0.15,
+                           bow_min_frame_gap=30, bow_top_k=3,
+                           loop_min_inliers=12, vocab_retrain_kfs=8)
+        sys = create_system(cfg, bc, seq.rig, seq.left[0].shape)
+        run_system(sys, seq.left, seq.right)
+        eligible = [d for d in sys.loop_debug
+                    if d["frame"] >= 96 / 1.5 * 1.1]
+        fired = [d for d in eligible if d["fired"]]
+        recall = len(fired) / max(len(eligible), 1)
+        return sys, recall
+
+    def test_sift_lsh_loops_fire(self, seq):
+        sys_sift, recall_sift = self._run(seq, "sift")
+        assert sys_sift.n_loop_closures >= 1, \
+            "loops must fire through the LSH crossing"
+
+    def test_recall_delta_vs_orb(self, seq):
+        """Documented recall delta: SimHash quantization may cost recall but
+        must stay within half of the ORB path's."""
+        _, recall_orb = self._run(seq, "orb")
+        _, recall_sift = self._run(seq, "sift")
+        print(f"loop recall: orb={recall_orb:.2f} sift+lsh={recall_sift:.2f} "
+              f"(delta {recall_orb - recall_sift:+.2f})")
+        assert recall_orb > 0
+        assert recall_sift >= 0.5 * recall_orb, (recall_sift, recall_orb)

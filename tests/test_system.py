@@ -103,3 +103,55 @@ class TestSystemVio:
         tel_v, _ = run_system(sys_v, seq.left, seq.right, imu=imu)
         ate_v = ate_rmse(camera_positions(tel_v.R_cw, tel_v.t_cw), gt)
         assert ate_v <= ate_o * 1.2 + 1e-4
+
+
+class TestPipelinedTelemetry:
+    """telemetry_lag > 0 (r3 verdict task 2): the packed telemetry is
+    consumed L frames late (async D2H copy) so the per-frame host read costs
+    ~0 on the TPU tunnel. Telemetry CONTENT must be identical to the
+    synchronous mode, and the keyframe back-end must still run — from the
+    keyframe's retained device state."""
+
+    @pytest.fixture(scope="class")
+    def pseq(self):
+        return make_sequence(np.random.default_rng(77), n_frames=12,
+                             motion="arc")
+
+    def test_bitexact_telemetry_backend_off(self, pseq):
+        seq = pseq
+        bc = dict(ba_every_kf=False, enable_loop_closure=False,
+                  enable_map_spill=False)
+        s0 = create_system(CFG, BackendConfig(**bc), seq.rig, seq.left[0].shape)
+        tel0, _ = run_system(s0, seq.left, seq.right)
+        s3 = create_system(CFG, BackendConfig(telemetry_lag=3, **bc),
+                           seq.rig, seq.left[0].shape)
+        tel3, infos3 = run_system(s3, seq.left, seq.right)
+        # same number of frames (queue flushed), bit-identical content
+        assert tel3.t_cw.shape == tel0.t_cw.shape
+        np.testing.assert_array_equal(np.asarray(tel0.t_cw),
+                                      np.asarray(tel3.t_cw))
+        np.testing.assert_array_equal(np.asarray(tel0.n_tracked),
+                                      np.asarray(tel3.n_tracked))
+        # infos carry the true frame index
+        frames = [i["frame"] for i in infos3]
+        assert frames == list(range(12))
+
+    def test_backend_runs_with_lag(self, pseq):
+        seq = pseq
+        s3 = create_system(CFG, BackendConfig(telemetry_lag=3),
+                           seq.rig, seq.left[0].shape)
+        tel3, infos3 = run_system(s3, seq.left, seq.right)
+        s0 = create_system(CFG, BackendConfig(), seq.rig, seq.left[0].shape)
+        tel0, _ = run_system(s0, seq.left, seq.right)
+        # same keyframes were declared and snapshotted
+        assert int(np.asarray(s3.kf_db.valid).sum()) == \
+            int(np.asarray(s0.kf_db.valid).sum())
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(s3.kf_db.frame_idx)[np.asarray(s3.kf_db.valid)]),
+            np.sort(np.asarray(s0.kf_db.frame_idx)[np.asarray(s0.kf_db.valid)]))
+        assert s3.n_ba_runs >= 1
+        # trajectory stays sane (corrections land 3 frames later, so allow
+        # slack vs the synchronous run)
+        gt = camera_positions(seq.R_lw, seq.t_lw)
+        ate3 = ate_rmse(camera_positions(tel3.R_cw, tel3.t_cw), gt)
+        assert ate3 < 0.05, ate3

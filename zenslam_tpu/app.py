@@ -107,9 +107,28 @@ def main(argv=None):
         print("IMU stream found — VIO branch enabled")
     system = None
     est_pos, gt_pos, times = [], [], []
+    meta = []  # per-frame (timestamp, wait_ms) — telemetry may arrive lagged
     n = 0
     t_start = time.time()
     mx_l = my_l = mx_r = my_r = None
+
+    def emit(tel, info, dt_ms):
+        ts, wait_ms = meta[info["frame"]]
+        telemetry.write(tel, timestamp=ts, duration_ms=dt_ms,
+                        wait_ms=wait_ms, step_ms=info["step_ms"],
+                        backend_ms=info["backend_ms"])
+        R = np.asarray(tel.R_cw)
+        t = np.asarray(tel.t_cw)
+        c = -R.T @ t
+        est_pos.append(c)
+        traj_f.write(f"{ts:.9f}, {c[0]:.6f}, {c[1]:.6f}, {c[2]:.6f}\n")
+        if gt is not None:
+            _, p = gt.pose_at(ts)
+            gt_pos.append(p)
+        return R, t
+
+    R = t = None
+    tel = None
     frame_iter = reader.frames_prefetch()  # native decode threads ≡ reader_thread
     while True:
         t_wait0 = time.time()
@@ -135,27 +154,29 @@ def main(argv=None):
                 rig = default_rig(width=W, height=H)
                 print(f"no calibration file — default rig for {W}x{H}")
             system = create_system(opts.slam, opts.backend, rig, il.shape)
+        meta.append((frame.timestamp, wait_ms))
         t0 = time.time()
         # process_frame returns HOST telemetry (one packed transfer — every
-        # separate jax-scalar read costs a full tunnel round trip)
-        tel, info = process_frame(system, il, ir, imu=imu)
+        # separate jax-scalar read costs a full tunnel round trip). With
+        # backend.telemetry_lag > 0 it arrives for an EARLIER frame (the
+        # async-copy pipeline); `meta` realigns timestamps.
+        tel_i, info = process_frame(system, il, ir, imu=imu)
         dt_ms = (time.time() - t0) * 1000 + wait_ms
-        telemetry.write(tel, timestamp=frame.timestamp, duration_ms=dt_ms,
-                        wait_ms=wait_ms, step_ms=info["step_ms"],
-                        backend_ms=info["backend_ms"])
-        R = np.asarray(tel.R_cw)
-        t = np.asarray(tel.t_cw)
-        c = -R.T @ t
-        est_pos.append(c)
-        traj_f.write(f"{frame.timestamp:.9f}, {c[0]:.6f}, {c[1]:.6f}, {c[2]:.6f}\n")
-        if gt is not None:
-            _, p = gt.pose_at(frame.timestamp)
-            gt_pos.append(p)
         times.append(dt_ms)
         n += 1
+        if tel_i is None:
+            continue
+        tel = tel_i
+        R, t = emit(tel, info, dt_ms)
         if n % 50 == 0:
             print(f"frame {n}: {np.mean(times[-50:]):.1f} ms/frame, "
                   f"map {int(tel.map_size)}, inliers {int(tel.n_pose_inliers)}")
+    if system is not None:
+        from zenslam_tpu.pipeline.system import flush_pipeline
+
+        for tel_i, info in flush_pipeline(system):
+            tel = tel_i
+            R, t = emit(tel, info, 0.0)
 
     telemetry.close()
     traj_f.close()

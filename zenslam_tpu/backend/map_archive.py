@@ -62,9 +62,35 @@ def reload_into_map(lmap, xyz, desc, valid, frame_idx, color=None,
     return lmap, slot, placed
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _pack_live(lmap):
+    """Flatten the live table to ONE (M, 6+D) f32 matrix for a single
+    device→host transfer (each separate array fetch over the axon tunnel
+    pays a full ~30 ms round trip; measured r4: the 5-fetch sync cost 267 ms
+    per keyframe, this packs it into one)."""
+    f32 = jnp.float32
+    desc = lmap.desc
+    if desc.dtype == jnp.uint32:
+        dbits = jax.lax.bitcast_convert_type(desc, f32)
+    else:
+        dbits = desc.astype(f32)
+    return jnp.concatenate([
+        lmap.valid.astype(f32)[:, None],
+        lmap.generation.astype(f32)[:, None],
+        lmap.xyz.astype(f32),
+        lmap.color.astype(f32)[:, None],
+        dbits.reshape(desc.shape[0], -1),
+    ], axis=1)
+
+
 class LandmarkArchive:
     """Growable host-side landmark store (numpy). Not a pytree — owned by
-    the host `SlamSystem` next to the keyframe DB."""
+    the host `SlamSystem` next to the keyframe DB.
+
+    Bookkeeping is VECTORIZED: `_slot_row`/`_slot_gen` arrays mirror the
+    live table's occupancy so a sync touches only the handful of slots that
+    actually changed since the last keyframe (the per-slot python dict walk
+    of the first implementation cost ~100 ms/keyframe at 8192 slots)."""
 
     def __init__(self, desc_shape=(8,), desc_dtype=np.uint32):
         self.xyz = np.zeros((0, 3), np.float32)
@@ -73,6 +99,8 @@ class LandmarkArchive:
         self.dormant = np.zeros(0, bool)       # True = not in the live map
         self._key_to_row = {}                  # (slot, generation) -> row
         self._row_key = []                     # row -> live key or None
+        self._slot_row = None                  # (M,) archive row per slot, -1
+        self._slot_gen = None                  # (M,) generation per slot, -1
         self.n_reloads = 0
         self.n_spills = 0
         self.reload_keys = set()               # (slot, gen) created by reload
@@ -80,47 +108,78 @@ class LandmarkArchive:
     def __len__(self):
         return len(self.xyz)
 
+    def _ensure_slot_maps(self, M: int):
+        if self._slot_row is not None and len(self._slot_row) == M:
+            return
+        # (re)build from the key dict — e.g. after checkpoint restore
+        self._slot_row = np.full(M, -1, np.int64)
+        self._slot_gen = np.full(M, -1, np.int64)
+        for (slot, gen), row in self._key_to_row.items():
+            self._slot_row[slot] = row
+            self._slot_gen[slot] = gen
+
+    def _displace(self, rows):
+        """Mark archive rows dormant (their slot got a new occupant)."""
+        rows = rows[rows >= 0]
+        if not len(rows):
+            return
+        newly = ~self.dormant[rows]
+        self.dormant[rows] = True
+        self.n_spills += int(newly.sum())
+        for r in rows:
+            k = self._row_key[r]
+            if k is not None:
+                self._key_to_row.pop(k, None)
+                self._row_key[int(r)] = None
+
     def sync(self, lmap) -> None:
         """Upsert the live map into the archive; mark recycled rows dormant.
 
-        Call per keyframe with the current (device) LandmarkMap."""
-        valid = np.asarray(lmap.valid)
-        xyz = np.asarray(lmap.xyz)
-        desc = np.asarray(lmap.desc)
-        gen = np.asarray(lmap.generation)
-        col = np.asarray(lmap.color)
+        Call per keyframe with the current (device) LandmarkMap. ONE
+        device→host transfer; host work is O(changed slots)."""
+        self.sync_packed(np.asarray(_pack_live(lmap)))
 
-        live_keys = set()
-        new_rows = []
-        for slot in np.nonzero(valid)[0]:
-            key = (int(slot), int(gen[slot]))
-            live_keys.add(key)
-            row = self._key_to_row.get(key)
-            if row is None:
-                new_rows.append((key, xyz[slot], desc[slot], col[slot]))
-            else:
-                self.xyz[row] = xyz[slot]      # BA refinements flow in
-        if new_rows:
+    def sync_packed(self, arr: np.ndarray) -> None:
+        """`sync` from an already-fetched `_pack_live` matrix — lets the
+        caller start the bulk D2H copy asynchronously and overlap it with
+        other keyframe work (pipeline/system._keyframe_backend)."""
+        M = arr.shape[0]
+        valid = arr[:, 0] > 0.5
+        gen = arr[:, 1].astype(np.int64)
+        xyz = arr[:, 2:5]
+        col = arr[:, 5]
+        dbits = np.ascontiguousarray(arr[:, 6:])
+        if self.desc.dtype == np.uint32:
+            desc = dbits.view(np.uint32)
+        else:
+            desc = dbits
+        desc = desc.reshape((M,) + self.desc.shape[1:])
+
+        self._ensure_slot_maps(M)
+        changed = valid & (gen != self._slot_gen)
+        vanished = (~valid) & (self._slot_row >= 0)
+        self._displace(self._slot_row[changed | vanished])
+        self._slot_row[vanished] = -1
+        self._slot_gen[vanished] = -1
+        # unchanged live occupants: refresh positions (BA refinements flow in)
+        keep = valid & ~changed & (self._slot_row >= 0)
+        if keep.any():
+            self.xyz[self._slot_row[keep]] = xyz[keep]
+        # new occupants: append rows
+        new_slots = np.nonzero(changed)[0]
+        if len(new_slots):
             base = len(self.xyz)
-            self.xyz = np.concatenate(
-                [self.xyz, np.stack([r[1] for r in new_rows])])
-            self.desc = np.concatenate(
-                [self.desc, np.stack([r[2] for r in new_rows])])
-            self.color = np.concatenate(
-                [self.color, np.asarray([r[3] for r in new_rows], np.float32)])
+            self.xyz = np.concatenate([self.xyz, xyz[new_slots]])
+            self.desc = np.concatenate([self.desc, desc[new_slots]])
+            self.color = np.concatenate([self.color, col[new_slots]])
             self.dormant = np.concatenate(
-                [self.dormant, np.zeros(len(new_rows), bool)])
-            for i, (key, *_rest) in enumerate(new_rows):
+                [self.dormant, np.zeros(len(new_slots), bool)])
+            for i, sl in enumerate(new_slots):
+                key = (int(sl), int(gen[sl]))
                 self._key_to_row[key] = base + i
                 self._row_key.append(key)
-        # recycled slots: key no longer current -> dormant
-        for key in list(self._key_to_row.keys()):
-            if key not in live_keys:
-                row = self._key_to_row.pop(key)
-                if not self.dormant[row]:
-                    self.dormant[row] = True
-                    self.n_spills += 1
-                self._row_key[row] = None
+            self._slot_row[new_slots] = base + np.arange(len(new_slots))
+            self._slot_gen[new_slots] = gen[new_slots]
 
     def reload(self, lmap, R_cw, t_cw, cam, frame_idx,
                reload_max: int = 128, radius: float = 50.0,
@@ -168,15 +227,30 @@ class LandmarkArchive:
             lmap, jnp.asarray(xyz_b), jnp.asarray(desc_b),
             jnp.asarray(valid_b), jnp.asarray(int(frame_idx), jnp.int32),
             color=jnp.asarray(col_b))
-        placed_np = np.asarray(placed)
-        slot_np = np.asarray(slot)
-        gen = np.asarray(new_lmap.generation)
+        # ONE packed fetch for the insert outcome (slot, placed, new gen)
+        aux = np.asarray(jnp.concatenate([
+            slot.astype(jnp.float32), placed.astype(jnp.float32),
+            new_lmap.generation[jnp.clip(slot, 0, None)].astype(jnp.float32),
+        ]))
+        slot_np = aux[:K].astype(np.int64)
+        placed_np = aux[K:2 * K] > 0.5
+        gen_np = aux[2 * K:].astype(np.int64)
+        self._ensure_slot_maps(int(new_lmap.valid.shape[0]))
         for i, row in enumerate(cand):
             if placed_np[i]:
-                key = (int(slot_np[i]), int(gen[slot_np[i]]))
+                sl = int(slot_np[i])
+                # the evicted previous occupant of this slot goes dormant NOW
+                # (the slot maps are updated here, so the next sync won't see
+                # the change)
+                prev = self._slot_row[sl]
+                if prev >= 0 and prev != row:
+                    self._displace(np.asarray([prev]))
+                key = (sl, int(gen_np[i]))
                 self.dormant[row] = False
                 self._key_to_row[key] = int(row)
                 self._row_key[int(row)] = key
+                self._slot_row[sl] = int(row)
+                self._slot_gen[sl] = int(gen_np[i])
                 self.n_reloads += 1
                 self.reload_keys.add(key)
         return new_lmap

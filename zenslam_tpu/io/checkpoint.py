@@ -114,6 +114,7 @@ def save_system(path: str, system) -> None:
     if a is not None:
         payload["archive_xyz"] = a.xyz
         payload["archive_desc"] = a.desc
+        payload["archive_color"] = a.color
         payload["archive_dormant"] = a.dormant
         rk = np.full((len(a.xyz), 2), -1, np.int64)
         for row, key in enumerate(a._row_key):
@@ -176,6 +177,9 @@ def load_system(path: str, cfg, bcfg, rig, image_shape, seed: int = 0):
             a = system.archive
             a.xyz = np.array(data["archive_xyz"])
             a.desc = np.array(data["archive_desc"])
+            a.color = (np.array(data["archive_color"])
+                       if "archive_color" in data.files
+                       else np.zeros(len(a.xyz), np.float32))
             a.dormant = np.array(data["archive_dormant"])
             rk = data["archive_row_key"]
             a._row_key = [None if rk[i, 0] < 0 else (int(rk[i, 0]), int(rk[i, 1]))

@@ -1,13 +1,13 @@
 """Multi-scale Harris corner scoring (dense, pure JAX → XLA).
 
-Parity target: the float-detector arm of the reference's detector factory
-(`keypoint_detector_simple.cpp:8-36` — FAST/ORB/**SIFT** detector choices).
-The reference's SIFT detector is a DoG scale-space extremum search; the
-TPU-shaped equivalent keeps the *capability* (multi-scale blob/corner
-detection feeding a float descriptor) with a dense Harris response evaluated
-at several pyramid scales — everything stays (H, W) planes (VPU elementwise
-+ separable blurs), max-reduced over scale, and feeds the SAME grid
-selection as FAST (`ops/fast.select_grid_keypoints`).
+Parity target: the ORB-detector arm of the reference's detector factory
+(`keypoint_detector_simple.cpp:8-36` — FAST/**ORB**/SIFT detector choices;
+cv::ORB detection is multi-scale FAST + Harris ranking). A dense Harris
+response evaluated at several pyramid scales — everything stays (H, W)
+planes (VPU elementwise + separable blurs), max-reduced over scale, and
+feeds the SAME grid selection as FAST (`ops/fast.select_grid_keypoints`).
+The true DoG scale-space extremum detector (the SIFT arm) lives in
+`ops/dog.py`.
 """
 
 from __future__ import annotations

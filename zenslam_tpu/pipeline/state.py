@@ -111,9 +111,12 @@ class SlamConfig(NamedTuple):
     # SIFT-128, L2 matmul matcher). Back-end consumers (keyframe DB, BoW,
     # loop closure) always see binary codes — float descriptors are
     # LSH-binarized at the snapshot boundary (`ops/match.lsh_binarize`).
-    detector: str = "fast"          # "fast" | "harris"
-    descriptor: str = "orb"         # "orb" | "sift"
+    detector: str = "fast"          # "fast" | "harris" | "dog"
+    descriptor: str = "orb"         # "orb" | "sift" | "freak"
     harris_threshold: float = 1e-7
+    dog_threshold: float = 0.008    # DoG contrast gate (Lowe 0.03/edge 10 at
+                                    # [0,1] intensities; lower here — grid
+                                    # selection caps density anyway)
     float_match_distance: float = 0.55  # L2 accept gate (unit-norm SIFT)
     # IMU preintegration backend ≡ the reference integrator façade's method
     # field (`integrator.h:39-44` / `integrator.cpp:158-216`):

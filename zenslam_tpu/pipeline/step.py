@@ -151,6 +151,11 @@ def _compute_descriptors(cfg: SlamConfig, img_l, feats: FeatureTable):
         from zenslam_tpu.ops.sift import sift_descriptors
 
         return sift_descriptors(img_l, feats.xy, feats.valid)
+    if cfg.descriptor == "freak":
+        from zenslam_tpu.ops.freak import freak_descriptors
+
+        desc, _ = freak_descriptors(img_l, feats.xy, feats.valid)
+        return desc
     if cfg.orb_backend != "xla" and resolve_use_pallas(cfg):
         from zenslam_tpu.ops.orb_pallas import orb_descriptors_pallas
 
@@ -165,11 +170,19 @@ def _detect_topup(cfg: SlamConfig, img_l, feats: FeatureTable, next_track_id):
     `keypoint_tracker.cpp:53-72` + `keypoint_detector_grid.cpp`).
     cfg.detector selects the dense score family (FAST vs multi-scale
     Harris ≡ the detector switch of `keypoint_detector_simple.cpp:8-36`)."""
-    if cfg.detector == "harris":
+    if cfg.detector in ("harris", "dog"):
         from zenslam_tpu.ops.fast import select_grid_keypoints
-        from zenslam_tpu.ops.harris import harris_score_multiscale
 
-        score = harris_score_multiscale(img_l, threshold=cfg.harris_threshold)
+        if cfg.detector == "dog":
+            # true DoG scale-space extrema (≡ the cv::SIFT detector arm)
+            from zenslam_tpu.ops.dog import dog_score
+
+            score = dog_score(img_l, threshold=cfg.dog_threshold)
+        else:
+            from zenslam_tpu.ops.harris import harris_score_multiscale
+
+            score = harris_score_multiscale(img_l,
+                                            threshold=cfg.harris_threshold)
         det_xy, det_score, det_valid = select_grid_keypoints(
             score, feats.xy, feats.valid, cell_size=cfg.cell_size,
             max_keypoints=cfg.max_keypoints, border=cfg.detect_border,

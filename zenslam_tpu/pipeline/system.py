@@ -47,7 +47,10 @@ from zenslam_tpu.ops.match import match_descriptors
 class BackendConfig:
     max_keyframes: int = 64         # long-gap loops need their anchor KF alive
     ba_window: int = 8              # config[1]: 8-keyframe sliding window
-    ba_iterations: int = 10
+    # 6 LM iterations: the window is WARM-STARTED (poses from the tracker,
+    # landmarks from triangulation/previous BA), measured convergence is
+    # 3-5 accepted steps; each iteration costs ~5.7 ms device time on v5e
+    ba_iterations: int = 6
     ba_every_kf: bool = True
     # reduced-camera-system solver: "dense" (Cholesky, small windows),
     # "cg" (matrix-free, full-map scale), "auto" = cg when the BA window
@@ -95,6 +98,13 @@ class BackendConfig:
     enable_map_spill: bool = True
     spill_reload_max: int = 128
     spill_radius: float = 50.0     # ≡ `tracking_options.h:14` map radius cap
+    # pipelined telemetry: consume each frame's packed telemetry L frames
+    # late (the device→host copy is issued asynchronously at dispatch), so
+    # the per-frame host read costs ~0 instead of a full tunnel round trip
+    # (~30 ms on axon — 3.5x the 1024² step). Keyframe back-end work then
+    # runs L frames after the keyframe, from that frame's retained device
+    # state. 0 = synchronous (tests/default); bench + throughput runs use 3.
+    telemetry_lag: int = 0
 
 
 @dataclass
@@ -124,6 +134,8 @@ class SlamSystem:
     n_keyframes: int = 0
     last_vocab_kfs: int = 0         # corpus size at the last vocab (re)train
     loop_debug: list = field(default_factory=list)
+    # pipelined-telemetry queue: [(packed_tel, state_ref, frame_idx), …]
+    _tel_queue: list = field(default_factory=list)
 
 
 def bow_n_words(bcfg: BackendConfig) -> int:
@@ -160,6 +172,45 @@ def create_system(cfg: SlamConfig, bcfg: BackendConfig, rig: StereoRig,
     return sys
 
 
+from typing import NamedTuple
+
+
+class KfSnap(NamedTuple):
+    """Device-side snapshot of everything the keyframe back-end reads from
+    the frame's state. slam_step DONATES its input state buffers, so a
+    retained SlamState reference dies at the next step — the snapshot is a
+    small jitted copy (fresh buffers) taken before the state is re-donated."""
+
+    R_cw: jnp.ndarray
+    t_cw: jnp.ndarray
+    xy: jnp.ndarray
+    uv_r: jnp.ndarray
+    stereo_ok: jnp.ndarray
+    desc: jnp.ndarray
+    lm_idx: jnp.ndarray
+    valid: jnp.ndarray
+    kp_lm_gen: jnp.ndarray
+    kp_xyz: jnp.ndarray
+
+
+@jax.jit
+def _kf_snapshot(state: SlamState) -> KfSnap:
+    f = state.features
+    lm_clip = jnp.clip(f.lm_idx, 0, None)
+    return KfSnap(
+        R_cw=state.R_cw + 0.0,
+        t_cw=state.t_cw + 0.0,
+        xy=f.xy + 0.0,
+        uv_r=f.uv_r + 0.0,
+        stereo_ok=jnp.logical_and(f.stereo_ok, True),
+        desc=f.desc + (0.0 if f.desc.dtype == jnp.float32 else jnp.uint32(0)),
+        lm_idx=f.lm_idx + 0,
+        valid=jnp.logical_and(f.valid, True),
+        kp_lm_gen=jnp.where(f.lm_idx >= 0, state.lmap.generation[lm_clip], -1),
+        kp_xyz=state.lmap.xyz[lm_clip] + 0.0,
+    )
+
+
 def _apply_pose_correction(state: SlamState, R_old, t_old, R_new, t_new) -> SlamState:
     """Propagate a keyframe correction to the live pose:
     T_cur' = (T_kf_new ∘ T_kf_old^-1) ∘ T_cur."""
@@ -169,15 +220,15 @@ def _apply_pose_correction(state: SlamState, R_old, t_old, R_new, t_new) -> Slam
     return state._replace(R_cw=R_cur, t_cw=t_cur)
 
 
-def _run_windowed_ba(sys: SlamSystem):
-    """Windowed Schur BA over the most recent keyframes; write back.
-
-    The problem is COMPACTED to the window: the W most recent keyframe rows
-    are gathered into a (W, …) sub-database, so the jitted solver compiles
-    for K=ba_window — the dense path's (M, K, 6, 3) block tensor and the
-    (6K, 6K) reduced system scale with the window, not the db capacity."""
-    db = sys.kf_db
-    W = sys.bcfg.ba_window
+@functools.partial(jax.jit, static_argnames=("W", "use_cg", "iterations"))
+def _windowed_ba_jit(db: KeyframeDB, lmap_xyz, lmap_valid, lmap_gen,
+                     R_cw, t_cw, rig: StereoRig,
+                     W: int, use_cg: bool, iterations: int):
+    """The WHOLE windowed-BA step as one jitted program: window compaction,
+    observation harvest, LM-Schur solve, pose/landmark write-back, and the
+    live-pose correction — one device dispatch instead of ~15 (measured r4:
+    the op-by-op host path cost ~20 ms of dispatch per keyframe on the axon
+    tunnel)."""
     order = jnp.argsort(-db.frame_idx)       # newest first; empty slots last
     slots = order[:W]                        # (W,) ring slots in the window
     sub = db._replace(
@@ -188,30 +239,71 @@ def _run_windowed_ba(sys: SlamSystem):
         kp_stereo=db.kp_stereo[slots], kp_desc=db.kp_desc[slots],
         frame_idx=db.frame_idx[slots], valid=db.valid[slots],
     )
-    p = ba_problem_from_db(
-        sub, sys.state.lmap.xyz, sys.state.lmap.valid,
-        sys.rig, lmap_generation=sys.state.lmap.generation,
+    p = ba_problem_from_db(sub, lmap_xyz, lmap_valid, rig,
+                           lmap_generation=lmap_gen)
+    # compact the LANDMARK dimension to the window's referenced landmarks:
+    # the dense Schur tensors scale with M, and running them over all 8192
+    # map slots when the window references ~1k costs ~4x the device time
+    # (measured r4: 75 ms → the dominant full-system keyframe cost).
+    # Referenced slots sort to the front; the static bound M_ba covers the
+    # worst realistic window (overflow obs are masked, not mis-assigned).
+    M = lmap_xyz.shape[0]
+    M_ba = min(M, 4 * db.kp_lm.shape[1])
+    ref = jnp.zeros(M, bool).at[
+        jnp.where(p.obs_valid, p.obs_lm, M)].set(True, mode="drop")
+    ref = ref & p.lm_valid
+    order = jnp.argsort(~ref)                 # referenced first (stable)
+    sel = order[:M_ba]
+    inv = jnp.full(M, M_ba, jnp.int32).at[sel].set(
+        jnp.arange(M_ba, dtype=jnp.int32))
+    new_obs_lm = inv[jnp.clip(p.obs_lm, 0, M - 1)]
+    obs_ok = p.obs_valid & (new_obs_lm < M_ba)
+    pc = p._replace(
+        xyz=p.xyz[sel],
+        lm_valid=ref[sel],
+        obs_lm=jnp.clip(new_obs_lm, 0, M_ba - 1),
+        obs_valid=obs_ok,
     )
+    if use_cg:
+        res = bundle_adjust_cg(pc, iterations=iterations)
+    else:
+        res = bundle_adjust(pc, iterations=iterations)
+    # newest keyframe sits at compact index 0 (argsort order)
+    R_old, t_old = sub.R[0], sub.t[0]
+    new_R = db.R.at[slots].set(res["R"])
+    new_t = db.t.at[slots].set(res["t"])
+    refined = jnp.where(ref[sel][:, None], res["xyz"], lmap_xyz[sel])
+    new_xyz = lmap_xyz.at[sel].set(refined)
+    # live-pose correction: T_cur' = (T_kf_new ∘ T_kf_old^-1) ∘ T_cur
+    Ri, ti = se3_inverse(R_old, t_old)
+    Rd, td = se3_compose(res["R"][0], res["t"][0], Ri, ti)
+    R_cur, t_cur = se3_compose(Rd, td, R_cw, t_cw)
+    rmse = jnp.stack([res["rmse_before"], res["rmse_after"]])
+    return new_R, new_t, new_xyz, R_cur, t_cur, rmse
+
+
+def _run_windowed_ba(sys: SlamSystem):
+    """Windowed Schur BA over the most recent keyframes; write back.
+
+    The problem is COMPACTED to the window: the W most recent keyframe rows
+    are gathered into a (W, …) sub-database, so the jitted solver compiles
+    for K=ba_window — the dense path's (M, K, 6, 3) block tensor and the
+    (6K, 6K) reduced system scale with the window, not the db capacity."""
+    W = sys.bcfg.ba_window
     use_cg = (sys.bcfg.ba_solver == "cg"
               or (sys.bcfg.ba_solver == "auto" and W > 16))
-    if use_cg:
-        res = bundle_adjust_cg(p, iterations=sys.bcfg.ba_iterations)
-    else:
-        res = bundle_adjust(p, iterations=sys.bcfg.ba_iterations)
-    # newest keyframe sits at compact index 0 (argsort order)
-    R_old = sub.R[0]
-    t_old = sub.t[0]
-    # write back poses & refined landmarks (only those optimized)
-    sys.kf_db = db._replace(R=db.R.at[slots].set(res["R"]),
-                            t=db.t.at[slots].set(res["t"]))
-    new_xyz = jnp.where(p.lm_valid[:, None], res["xyz"], sys.state.lmap.xyz)
-    sys.state = sys.state._replace(lmap=sys.state.lmap._replace(xyz=new_xyz))
-    sys.state = _apply_pose_correction(sys.state, R_old, t_old,
-                                       res["R"][0], res["t"][0])
+    new_R, new_t, new_xyz, R_cur, t_cur, rmse = _windowed_ba_jit(
+        sys.kf_db, sys.state.lmap.xyz, sys.state.lmap.valid,
+        sys.state.lmap.generation, sys.state.R_cw, sys.state.t_cw, sys.rig,
+        W=W, use_cg=use_cg, iterations=sys.bcfg.ba_iterations)
+    sys.kf_db = sys.kf_db._replace(R=new_R, t=new_t)
+    sys.state = sys.state._replace(
+        R_cw=R_cur, t_cw=t_cur,
+        lmap=sys.state.lmap._replace(xyz=new_xyz))
     sys.n_ba_runs += 1
     # (rmse_before, rmse_after) as ONE device array — callers that want the
     # numbers pay the device→host sync; the hot path never reads them
-    return jnp.stack([res["rmse_before"], res["rmse_after"]])
+    return rmse
 
 
 def _retrain_vocab(sys: SlamSystem):
@@ -423,88 +515,155 @@ def process_frame(sys: SlamSystem, img_l, img_r, imu=None):
     t0 = _time.time()
     sys.state, tel = slam_step(sys.cfg, sys.rig, sys.state, img_l, img_r,
                                imu=imu)
-    # ONE device→host transfer for everything the host reads this frame
-    # (each separate jax-scalar read is a ~25 ms tunnel round trip — see
-    # pack_telemetry); this fetch is also the step sync point.
     from zenslam_tpu.pipeline.state import pack_telemetry, unpack_telemetry
 
-    tel = unpack_telemetry(pack_telemetry(tel))
-    t1 = _time.time()
+    packed = pack_telemetry(tel)
     sys.n_frames += 1
-    backend_info = {"ba": None, "loop": False,
+    L = sys.bcfg.telemetry_lag
+    if L > 0:
+        # PIPELINED telemetry (r3 verdict task 2): a blocking device→host
+        # read over the axon tunnel costs ~30 ms of pure round-trip latency
+        # — 3.5x the 1024² step itself. Start the D2H copy asynchronously
+        # NOW and consume it L frames later, when it has long landed: the
+        # steady-state fetch cost drops to ~zero and the keyframe back-end
+        # simply runs L frames after the keyframe (its snapshot is taken
+        # from the retained device state of that frame, so keyframe
+        # SEMANTICS are unchanged — only discovery latency moves).
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass  # platforms without async host copies fall back to the read
+        sys._tel_queue.append((packed, _kf_snapshot(sys.state),
+                               sys.n_frames - 1))
+        if len(sys._tel_queue) <= L:
+            return None, {"ba": None, "loop": False, "frame": None,
+                          "step_ms": (_time.time() - t0) * 1000,
+                          "backend_ms": 0.0}
+        packed, snap, frame_idx = sys._tel_queue.pop(0)
+    else:
+        snap, frame_idx = None, sys.n_frames - 1
+    # ONE device→host transfer for everything the host reads this frame
+    # (each separate jax-scalar read is a full tunnel round trip — see
+    # pack_telemetry); in pipelined mode the data already landed.
+    tel = unpack_telemetry(packed)
+    t1 = _time.time()
+    backend_info = {"ba": None, "loop": False, "frame": frame_idx,
                     "step_ms": (t1 - t0) * 1000, "backend_ms": 0.0}
     if bool(tel.is_keyframe):
-        feats = sys.state.features
-        prev_slot = sys.last_kf_slot
-        # host mirror of kf_db.next_slot (ring pointer) — saves one scalar
-        # round trip per keyframe
-        slot = sys.n_keyframes % sys.bcfg.max_keyframes
-        sys.n_keyframes += 1
-        lm_clip = jnp.clip(feats.lm_idx, 0, None)
-        # back-end consumers (keyframe DB, BoW, loop PnP matching) are
-        # binary-code machinery; the float family crosses this boundary as
-        # LSH sign codes (ops/match.lsh_binarize — SimHash of the L2 space)
-        kf_desc = feats.desc
-        if sys.cfg.descriptor == "sift":
-            from zenslam_tpu.ops.match import lsh_binarize
-
-            kf_desc = lsh_binarize(feats.desc)
-        sys.kf_db = kf_db_add(
-            sys.kf_db, sys.state.R_cw, sys.state.t_cw,
-            feats.xy, feats.lm_idx, feats.valid & (feats.lm_idx >= 0),
-            kf_desc, sys.n_frames - 1,
-            kp_uvr=feats.uv_r, kp_stereo=feats.stereo_ok,
-            kp_lm_gen=jnp.where(feats.lm_idx >= 0,
-                                sys.state.lmap.generation[lm_clip], -1),
-            kp_xyz=sys.state.lmap.xyz[lm_clip],
-        )
-        sys.last_kf_slot = slot
-        # odometry edge between consecutive keyframes
-        if prev_slot >= 0:
-            Ri, ti = se3_inverse(sys.kf_db.R[prev_slot], sys.kf_db.t[prev_slot])
-            Rm, tm = se3_compose(sys.state.R_cw, sys.state.t_cw, Ri, ti)
-            sys.edge_i.append(slot)
-            sys.edge_j.append(prev_slot)
-            # device arrays appended LAZILY — converted when the pose
-            # graph actually runs, so the per-keyframe path pays no sync
-            sys.edge_R.append(Rm)
-            sys.edge_t.append(tm)
-            sys.edge_w.append(1.0)
-        # windowed BA (config[1]/[2])
-        if sys.bcfg.ba_every_kf and prev_slot >= 0:
-            backend_info["ba"] = _run_windowed_ba(sys)
-        # landmark spill/reload (map-scaling axis): archive the (BA-refined)
-        # live map, then pull archived landmarks back into the table when
-        # the camera revisits their region
-        if sys.bcfg.enable_map_spill and sys.archive is not None:
-            sys.archive.sync(sys.state.lmap)
-            new_lmap = sys.archive.reload(
-                sys.state.lmap, sys.state.R_cw, sys.state.t_cw,
-                sys.rig.left, sys.n_frames,
-                reload_max=sys.bcfg.spill_reload_max,
-                radius=sys.bcfg.spill_radius)
-            if new_lmap is not sys.state.lmap:
-                sys.state = sys.state._replace(lmap=new_lmap)
-            backend_info["spill"] = {"archived": len(sys.archive),
-                                     "reloads": sys.archive.n_reloads}
-        # loop closure (config[3])
-        if sys.bcfg.enable_loop_closure:
-            n_kfs = min(sys.n_keyframes, sys.bcfg.max_keyframes)
-            if sys.vocab is None:
-                # bootstrap vocabulary from the first keyframe's descriptors…
-                sys.vocab = _train_vocab(sys.bcfg, jax.random.PRNGKey(7),
-                                         kf_desc, feats.valid)
-            elif (n_kfs >= sys.bcfg.vocab_retrain_kfs
-                  and n_kfs >= sys.last_vocab_kfs * sys.bcfg.vocab_retrain_growth):
-                # …then retrain over the accumulated keyframe corpus — first
-                # at vocab_retrain_kfs, again at every growth factor (the
-                # quantizer tracks the trajectory instead of freezing)
-                _retrain_vocab(sys)
-            frame_idx = sys.n_frames - 1
-            backend_info["loop"] = _try_loop_closure(sys, slot, frame_idx)
-        jax.block_until_ready(sys.state.t_cw)
+        if snap is None:
+            snap = _kf_snapshot(sys.state)
+        _keyframe_backend(sys, snap, frame_idx, backend_info)
+        # NO block_until_ready here: draining the device queue per keyframe
+        # would serialize the async pipeline (the loop gate's packed read is
+        # already a real sync point; remaining back-end work overlaps the
+        # next frames' dispatch). backend_ms measures the host-side cost.
         backend_info["backend_ms"] = (_time.time() - t1) * 1000
     return tel, backend_info
+
+
+def flush_pipeline(sys: SlamSystem):
+    """Drain the pipelined-telemetry queue at sequence end: returns the
+    remaining [(telemetry, backend_info), …] in frame order."""
+    import time as _time
+
+    from zenslam_tpu.pipeline.state import unpack_telemetry
+
+    out = []
+    while sys._tel_queue:
+        packed, snap, frame_idx = sys._tel_queue.pop(0)
+        tel = unpack_telemetry(packed)
+        info = {"ba": None, "loop": False, "frame": frame_idx,
+                "step_ms": 0.0, "backend_ms": 0.0}
+        if bool(tel.is_keyframe):
+            t1 = _time.time()
+            _keyframe_backend(sys, snap, frame_idx, info)
+            info["backend_ms"] = (_time.time() - t1) * 1000
+        out.append((tel, info))
+    return out
+
+
+def _keyframe_backend(sys: SlamSystem, snap: KfSnap, frame_idx: int,
+                      backend_info: dict):
+    """All per-keyframe back-end work. ``snap`` is the KfSnap taken AT the
+    keyframe (immediately in synchronous mode; L frames earlier in pipelined
+    mode) — snapshots come from it, corrections apply to the LIVE
+    ``sys.state``."""
+    prev_slot = sys.last_kf_slot
+    # host mirror of kf_db.next_slot (ring pointer) — saves one scalar
+    # round trip per keyframe
+    slot = sys.n_keyframes % sys.bcfg.max_keyframes
+    sys.n_keyframes += 1
+    # back-end consumers (keyframe DB, BoW, loop PnP matching) are
+    # binary-code machinery; the float family crosses this boundary as
+    # LSH sign codes (ops/match.lsh_binarize — SimHash of the L2 space)
+    kf_desc = snap.desc
+    if sys.cfg.descriptor == "sift":
+        from zenslam_tpu.ops.match import lsh_binarize
+
+        kf_desc = lsh_binarize(snap.desc)
+    sys.kf_db = kf_db_add(
+        sys.kf_db, snap.R_cw, snap.t_cw,
+        snap.xy, snap.lm_idx, snap.valid & (snap.lm_idx >= 0),
+        kf_desc, frame_idx,
+        kp_uvr=snap.uv_r, kp_stereo=snap.stereo_ok,
+        kp_lm_gen=snap.kp_lm_gen,
+        kp_xyz=snap.kp_xyz,
+    )
+    sys.last_kf_slot = slot
+    # odometry edge between consecutive keyframes
+    if prev_slot >= 0:
+        Ri, ti = se3_inverse(sys.kf_db.R[prev_slot], sys.kf_db.t[prev_slot])
+        Rm, tm = se3_compose(snap.R_cw, snap.t_cw, Ri, ti)
+        sys.edge_i.append(slot)
+        sys.edge_j.append(prev_slot)
+        # device arrays appended LAZILY — converted when the pose
+        # graph actually runs, so the per-keyframe path pays no sync
+        sys.edge_R.append(Rm)
+        sys.edge_t.append(tm)
+        sys.edge_w.append(1.0)
+    # windowed BA (config[1]/[2])
+    if sys.bcfg.ba_every_kf and prev_slot >= 0:
+        backend_info["ba"] = _run_windowed_ba(sys)
+    # landmark spill (map-scaling axis): pack the (BA-refined) live map and
+    # START the bulk D2H copy now — it streams over the tunnel while the
+    # loop-closure gate below does its own blocking read, so the two
+    # transfers overlap instead of serializing (measured r4: the synchronous
+    # sync cost ~130 ms per keyframe at 8192 slots)
+    spill_packed = None
+    if sys.bcfg.enable_map_spill and sys.archive is not None:
+        from zenslam_tpu.backend.map_archive import _pack_live
+
+        spill_packed = _pack_live(sys.state.lmap)
+        try:
+            spill_packed.copy_to_host_async()
+        except Exception:
+            pass
+    # loop closure (config[3])
+    if sys.bcfg.enable_loop_closure:
+        n_kfs = min(sys.n_keyframes, sys.bcfg.max_keyframes)
+        if sys.vocab is None:
+            # bootstrap vocabulary from the first keyframe's descriptors…
+            sys.vocab = _train_vocab(sys.bcfg, jax.random.PRNGKey(7),
+                                     kf_desc, snap.valid)
+        elif (n_kfs >= sys.bcfg.vocab_retrain_kfs
+              and n_kfs >= sys.last_vocab_kfs * sys.bcfg.vocab_retrain_growth):
+            # …then retrain over the accumulated keyframe corpus — first
+            # at vocab_retrain_kfs, again at every growth factor (the
+            # quantizer tracks the trajectory instead of freezing)
+            _retrain_vocab(sys)
+        backend_info["loop"] = _try_loop_closure(sys, slot, frame_idx)
+    # spill consume + frustum reload-on-revisit
+    if spill_packed is not None:
+        sys.archive.sync_packed(np.asarray(spill_packed))
+        new_lmap = sys.archive.reload(
+            sys.state.lmap, sys.state.R_cw, sys.state.t_cw,
+            sys.rig.left, sys.n_frames,
+            reload_max=sys.bcfg.spill_reload_max,
+            radius=sys.bcfg.spill_radius)
+        if new_lmap is not sys.state.lmap:
+            sys.state = sys.state._replace(lmap=new_lmap)
+        backend_info["spill"] = {"archived": len(sys.archive),
+                                 "reloads": sys.archive.n_reloads}
 
 
 def run_system(sys: SlamSystem, left, right, imu=None):
@@ -516,6 +675,10 @@ def run_system(sys: SlamSystem, left, right, imu=None):
         fi = None if imu is None else tuple(jnp.asarray(x[t]) for x in imu)
         tel, info = process_frame(sys, jnp.asarray(left[t]),
                                   jnp.asarray(right[t]), imu=fi)
+        if tel is not None:
+            tels.append(tel)
+            infos.append(info)
+    for tel, info in flush_pipeline(sys):
         tels.append(tel)
         infos.append(info)
     telem = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *tels)
