@@ -114,8 +114,15 @@ def main(argv=None):
         _, p = gt.pose_at(row[0])
         gtp.append(p)
     ate_mm = ate_rmse(np.asarray(est), np.asarray(gtp)) * 1000
+    # headless 3D scene artifacts (≡ the reference's VTK window; the app
+    # writes them at shutdown — assert they exist and are non-trivial)
+    for art, floor in (("scene.ply", 10_000), ("scene.html", 10_000),
+                       ("scene_3d.png", 20_000)):
+        pth = os.path.join(out, art)
+        assert os.path.exists(pth) and os.path.getsize(pth) > floor, art
     print(f"\nFULL-DRESS: {len(rows)} frames, steady front-end "
-          f"{steady:.1f} ms/frame ({fps:.1f} fps), ATE {ate_mm:.1f} mm")
+          f"{steady:.1f} ms/frame ({fps:.1f} fps), ATE {ate_mm:.1f} mm, "
+          f"scene artifacts ok")
     ok = ate_mm < args.ate_bound_mm and fps > args.fps_floor
     print("PASS" if ok else
           f"FAIL (bounds: ATE<{args.ate_bound_mm}mm, fps>{args.fps_floor})")

@@ -52,10 +52,16 @@ def _smallest_eigvec_12(ATA):
     scale = jnp.maximum(tr / 12.0, 1e-20)
     A = ATA / scale + 1e-5 * jnp.eye(12, dtype=ATA.dtype)
     chol = jax.scipy.linalg.cho_factor(A, lower=True)
+    # ONE batched 12-rhs solve materializes A^-1, then the 6 inverse-power
+    # iterations are fused matmuls — vs 6 SEQUENTIAL cho_solve custom calls
+    # per hypothesis (each a latency-bound LAPACK-style pass the compiler
+    # cannot fuse; a ROOFLINE r3 lever worth ~0.45 ms/frame over the
+    # vmapped 2x128-hypothesis batch)
+    Ainv = jax.scipy.linalg.cho_solve(chol, jnp.eye(12, dtype=ATA.dtype))
     v = jnp.full((12,), 1.0 / jnp.sqrt(12.0), ATA.dtype)
 
     def it(_, v):
-        z = jax.scipy.linalg.cho_solve(chol, v)
+        z = Ainv @ v
         return z / jnp.maximum(jnp.linalg.norm(z), 1e-30)
 
     return jax.lax.fori_loop(0, 6, it, v)
@@ -156,31 +162,45 @@ def solve_pnp_ransac(
     scores, Rs, ts = jax.vmap(hypo)(idx)
     best = jnp.argmax(scores)
     R0, t0 = Rs[best], ts[best]
-
-    if R_init is not None:
-        # prior-seeded robust GN on ALL valid points (Huber downweights the
-        # outliers); adopt it when it beats the best DLT hypothesis
-        Rp, tp = refine_pnp_gn(K, R_init, t_init, X, uv, valid,
-                               iters=refine_iters, huber_delta=huber_delta)
-        err_p = reprojection_errors(K, Rp, tp, X, uv)
-        n_p = jnp.sum((err_p < threshold) & valid)
-        use_p = n_p > scores[best]
-        R0 = jnp.where(use_p, Rp, R0)
-        t0 = jnp.where(use_p, tp, t0)
-
     err0 = reprojection_errors(K, R0, t0, X, uv)
     inliers = (err0 < threshold) & valid
 
-    # Gauss-Newton polish on inliers (≡ solvePnPRefineLM on inliers,
-    # `common.h:70-90`), fixed iterations, Huber-weighted, masked.
-    R, t = refine_pnp_gn(K, R0, t0, X, uv, inliers, iters=refine_iters, huber_delta=huber_delta)
-    err = reprojection_errors(K, R, t, X, uv)
-    new_inliers = (err < threshold) & valid
+    if R_init is not None:
+        # BOTH polish seeds in ONE vmapped GN — the RANSAC winner on its
+        # inliers and the prior on all valid points (Huber downweights the
+        # outliers) — instead of two SEQUENTIAL 10-iteration loops (the
+        # prior-seeded refine then the winner polish). Halves the serial
+        # GN depth on the cascade's critical path (a ROOFLINE r3 lever);
+        # quality is preserved because each candidate is fully polished
+        # before the inlier-count vote picks one.
+        seeds_R = jnp.stack([R0, R_init])
+        seeds_t = jnp.stack([t0, t_init])
+        masks = jnp.stack([inliers, valid])
+        Rb, tb = jax.vmap(
+            lambda R_, t_, m: refine_pnp_gn(K, R_, t_, X, uv, m,
+                                            iters=refine_iters,
+                                            huber_delta=huber_delta)
+        )(seeds_R, seeds_t, masks)
+        errs = jax.vmap(lambda R_, t_: reprojection_errors(K, R_, t_, X, uv))(
+            Rb, tb)
+        ninl = jnp.sum((errs < threshold) & valid[None, :], axis=1)
+        pick = jnp.argmax(ninl)
+        R, t = Rb[pick], tb[pick]
+        err = errs[pick]
+        new_inliers = (err < threshold) & valid
+    else:
+        # Gauss-Newton polish on inliers (≡ solvePnPRefineLM on inliers,
+        # `common.h:70-90`), fixed iterations, Huber-weighted, masked.
+        R, t = refine_pnp_gn(K, R0, t0, X, uv, inliers, iters=refine_iters,
+                             huber_delta=huber_delta)
+        err = reprojection_errors(K, R, t, X, uv)
+        new_inliers = (err < threshold) & valid
     # keep the refined pose only if it didn't lose inliers (robustness guard)
     better = jnp.sum(new_inliers) >= jnp.sum(inliers)
     R = jnp.where(better, R, R0)
     t = jnp.where(better, t, t0)
     inliers = jnp.where(better, new_inliers, inliers)
+    err = jnp.where(better, err, err0)
 
     n_inl = jnp.sum(inliers)
     mean_err = jnp.sum(jnp.where(inliers, err, 0.0)) / jnp.maximum(n_inl, 1)
