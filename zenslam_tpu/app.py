@@ -127,6 +127,9 @@ def main(argv=None):
             gt_pos.append(p)
         return R, t
 
+    def _to_u8(img):
+        return np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
     R = t = None
     tel = None
     frame_iter = reader.frames_prefetch()  # native decode threads ≡ reader_thread
@@ -136,8 +139,12 @@ def main(argv=None):
         if frame is None:
             break
         wait_ms = (time.time() - t_wait0) * 1000
-        il = jnp.asarray(frame.left)
-        ir = jnp.asarray(frame.right)
+        # upload as uint8 and rescale ON DEVICE: the sensor data is 8-bit
+        # anyway, and host->device bandwidth is the app's frame-rate ceiling
+        # on remote-attached accelerators (measured: 2.9 MB/frame f32 over
+        # the axon tunnel = ~290 ms; uint8 is 4x less)
+        il = jnp.asarray(_to_u8(frame.left)).astype(jnp.float32) * (1.0 / 255.0)
+        ir = jnp.asarray(_to_u8(frame.right)).astype(jnp.float32) * (1.0 / 255.0)
         imu = None
         if has_imu:
             imu = (jnp.asarray(frame.imu_gyro), jnp.asarray(frame.imu_accel),
