@@ -396,9 +396,12 @@ def _loop_query_verify(vocab, bow_db, db: KeyframeDB, kf_slot, frame_idx,
     return new_bow_db, packed
 
 
-def _try_loop_closure(sys: SlamSystem, kf_slot: int, frame_idx: int):
-    """BoW query → descriptor match → PnP vs old keyframe landmarks →
-    pose-graph edge + optimization (config[3]). One device→host transfer."""
+def _loop_issue(sys: SlamSystem, kf_slot: int, frame_idx: int):
+    """Dispatch the jitted loop gate and START its device→host copy.
+
+    Called BEFORE the windowed BA dispatch so the gate's one packed read
+    streams over the tunnel while BA computes — by resolve time the data
+    has landed and the read costs ~nothing (decisions stay same-keyframe)."""
     bcfg = sys.bcfg
     sys.bow_db, packed = _loop_query_verify(
         sys.vocab, sys.bow_db, sys.kf_db,
@@ -406,6 +409,20 @@ def _try_loop_closure(sys: SlamSystem, kf_slot: int, frame_idx: int):
         sys.rig.left.K, bcfg.bow_min_frame_gap, bcfg.loop_pnp_threshold,
         jax.random.PRNGKey(frame_idx * 16),
         top_k=bcfg.bow_top_k, pnp_iters=128)
+    try:
+        packed.copy_to_host_async()
+    except Exception:
+        pass
+    return packed
+
+
+def _try_loop_closure(sys: SlamSystem, kf_slot: int, frame_idx: int,
+                      packed=None):
+    """BoW query → descriptor match → PnP vs old keyframe landmarks →
+    pose-graph edge + optimization (config[3]). One device→host transfer."""
+    bcfg = sys.bcfg
+    if packed is None:
+        packed = _loop_issue(sys, kf_slot, frame_idx)
     k = bcfg.bow_top_k
     p = np.asarray(packed)          # the single sync of the loop gate
     scores = p[0:k]
@@ -621,24 +638,11 @@ def _keyframe_backend(sys: SlamSystem, snap: KfSnap, frame_idx: int,
         sys.edge_R.append(Rm)
         sys.edge_t.append(tm)
         sys.edge_w.append(1.0)
-    # windowed BA (config[1]/[2])
-    if sys.bcfg.ba_every_kf and prev_slot >= 0:
-        backend_info["ba"] = _run_windowed_ba(sys)
-    # landmark spill (map-scaling axis): pack the (BA-refined) live map and
-    # START the bulk D2H copy now — it streams over the tunnel while the
-    # loop-closure gate below does its own blocking read, so the two
-    # transfers overlap instead of serializing (measured r4: the synchronous
-    # sync cost ~130 ms per keyframe at 8192 slots)
-    spill_packed = None
-    if sys.bcfg.enable_map_spill and sys.archive is not None:
-        from zenslam_tpu.backend.map_archive import _pack_live
-
-        spill_packed = _pack_live(sys.state.lmap)
-        try:
-            spill_packed.copy_to_host_async()
-        except Exception:
-            pass
-    # loop closure (config[3])
+    # loop-closure gate ISSUE (config[3]): dispatch the query + verification
+    # and start its packed read before BA so the transfer overlaps BA's
+    # device time. The candidates' landmark snapshots are immutable and BA
+    # only nudges window poses, so pre-BA inputs are equivalent for the gate.
+    pending_loop = None
     if sys.bcfg.enable_loop_closure:
         n_kfs = min(sys.n_keyframes, sys.bcfg.max_keyframes)
         if sys.vocab is None:
@@ -651,9 +655,29 @@ def _keyframe_backend(sys: SlamSystem, snap: KfSnap, frame_idx: int,
             # at vocab_retrain_kfs, again at every growth factor (the
             # quantizer tracks the trajectory instead of freezing)
             _retrain_vocab(sys)
-        backend_info["loop"] = _try_loop_closure(sys, slot, frame_idx)
-    # spill consume + frustum reload-on-revisit
-    if spill_packed is not None:
+        pending_loop = _loop_issue(sys, slot, frame_idx)
+    # windowed BA (config[1]/[2])
+    if sys.bcfg.ba_every_kf and prev_slot >= 0:
+        backend_info["ba"] = _run_windowed_ba(sys)
+    # loop-closure RESOLVE: the packed verdict has streamed in during BA.
+    # Runs BEFORE the spill so a fired pose graph (which transforms the
+    # keyframe snapshots AND the live map into the corrected epoch) is
+    # reflected in what the archive syncs and reloads this keyframe —
+    # packing pre-correction positions and then reloading them into the
+    # corrected map would mix world epochs.
+    if pending_loop is not None:
+        backend_info["loop"] = _try_loop_closure(sys, slot, frame_idx,
+                                                 packed=pending_loop)
+    # landmark spill (map-scaling axis): ONE bitcast-packed transfer of the
+    # (BA-refined, loop-corrected) live map, then frustum reload-on-revisit
+    if sys.bcfg.enable_map_spill and sys.archive is not None:
+        from zenslam_tpu.backend.map_archive import _pack_live
+
+        spill_packed = _pack_live(sys.state.lmap)
+        try:
+            spill_packed.copy_to_host_async()
+        except Exception:
+            pass
         sys.archive.sync_packed(np.asarray(spill_packed))
         new_lmap = sys.archive.reload(
             sys.state.lmap, sys.state.R_cw, sys.state.t_cw,
