@@ -3,7 +3,7 @@
 # that broke round 2's HEAD) plus the fast test subset. `make test` is the
 # full suite; `make bench` the single-chip benchmark (real TPU).
 
-.PHONY: check test bench
+.PHONY: check test bench tpu-parity
 
 check:
 	python scripts/trace_check.py
@@ -15,3 +15,8 @@ test:
 
 bench:
 	python bench.py
+
+# compiled-vs-interpret Pallas kernel parity on the REAL chip (the suite
+# forces CPU, so the @pytest.mark.tpu tests only run through this entry)
+tpu-parity:
+	python scripts/tpu_kernel_parity.py

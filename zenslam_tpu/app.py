@@ -30,6 +30,11 @@ def main(argv=None):
     ap.add_argument("--take", type=int, default=0, help="override take_frames")
     ap.add_argument("--no-scene", action="store_true",
                     help="skip the 3D scene export (PLY/HTML/PNG)")
+    ap.add_argument("--save-vocab", default="",
+                    help="write the run's trained BoW vocabulary to this "
+                         ".npz (reload via backend.vocab_file; ≡ the "
+                         "reference's vocabulary save, bow_vocabulary.cpp:"
+                         "275-305)")
     ap.add_argument("--version", action="store_true")
     args = ap.parse_args(argv)
 
@@ -212,6 +217,11 @@ def main(argv=None):
                              est_positions=est_pos, gt_positions=gt_pos)
         print(f"scene export: {len(scene['points'])} landmarks -> "
               f"{opts.folder.output}/scene.{{ply,html}} + scene_3d.png")
+    if args.save_vocab and system is not None and system.vocab is not None:
+        from zenslam_tpu.backend.bow import save_vocabulary
+
+        save_vocabulary(args.save_vocab, system.vocab)
+        print(f"vocabulary saved: {args.save_vocab}")
     if args.options_file:
         save_options(opts, os.path.join(opts.folder.output, "effective_options.yaml"))
     return 0
