@@ -49,6 +49,15 @@ class TestDogDetector:
         assert patch.max() > 0
         assert s3.max() >= s1.max()
 
+    def test_odd_dimensions_supported(self):
+        """Odd heights/widths (e.g. 753, or odd intermediate octaves) must
+        not shape-mismatch the octave decimation (r4 advisor finding: the
+        2x2-average strided slices required even dims at every octave)."""
+        img = blob_image(H=151, W=117, centers=((75, 58),))
+        s = np.asarray(dog_score(img, n_octaves=3))
+        assert s.shape == (151, 117)
+        assert s[69:82, 52:65].max() > 0
+
     def test_edges_suppressed(self):
         """A pure step edge (ridge-like Hessian) must not fire (Lowe §4.1
         principal-curvature rejection)."""

@@ -146,6 +146,22 @@ class TestLoopPrecisionRecall:
         assert recall >= 0.4, (
             f"recall {recall:.2f} ({len(fired)}/{len(eligible)})")
 
+    def test_bow_slots_stay_aligned_with_keyframe_slots(self, run):
+        """Across periodic retrains the BoW ring must remain slot-aligned
+        with the keyframe ring (r4 advisor finding: each retrain used to
+        rebuild the just-added keyframe's histogram AND let the in-flight
+        `bow_db_add` insert it again, shifting the bow pointer one past the
+        keyframe ring — loop candidates then verified against the wrong
+        keyframes)."""
+        sys, _ = run
+        np.testing.assert_array_equal(np.asarray(sys.bow_db.valid),
+                                      np.asarray(sys.kf_db.valid))
+        v = np.asarray(sys.kf_db.valid)
+        np.testing.assert_array_equal(
+            np.asarray(sys.bow_db.frame_idx)[v],
+            np.asarray(sys.kf_db.frame_idx)[v])
+        assert int(sys.bow_db.next_slot) == int(sys.kf_db.next_slot)
+
     def test_vocab_retrained_periodically(self, run):
         """The one-shot freeze is gone: the codebook must have been
         retrained at least twice (8 → 16 → 32 keyframe corpus points)."""

@@ -64,23 +64,31 @@ def reload_into_map(lmap, xyz, desc, valid, frame_idx, color=None,
 
 @functools.partial(jax.jit, static_argnames=())
 def _pack_live(lmap):
-    """Flatten the live table to ONE (M, 6+D) f32 matrix for a single
+    """Flatten the live table to ONE (M, 6+D) **uint32** matrix for a single
     device→host transfer (each separate array fetch over the axon tunnel
     pays a full ~30 ms round trip; measured r4: the 5-fetch sync cost 267 ms
-    per keyframe, this packs it into one)."""
+    per keyframe, and r5: a second blocking consumption point cost ~15 ms).
+
+    The carrier dtype is uint32, NOT f32: arbitrary 256-bit descriptor words
+    routinely land on NaN bit patterns, and any NaN canonicalization in a
+    float transfer would silently corrupt archived descriptors used for
+    reload matching (r4 advisor finding). Integer arrays are never
+    canonicalized, and bitcasting the f32 metadata INTO uint32 for the ride
+    is lossless — the host views those columns back as f32."""
+    u32 = jnp.uint32
     f32 = jnp.float32
-    desc = lmap.desc
-    if desc.dtype == jnp.uint32:
-        dbits = jax.lax.bitcast_convert_type(desc, f32)
-    else:
-        dbits = desc.astype(f32)
-    return jnp.concatenate([
+    meta = jnp.concatenate([
         lmap.valid.astype(f32)[:, None],
         lmap.generation.astype(f32)[:, None],
         lmap.xyz.astype(f32),
         lmap.color.astype(f32)[:, None],
-        dbits.reshape(desc.shape[0], -1),
     ], axis=1)
+    desc = lmap.desc
+    if desc.dtype != u32:
+        desc = jax.lax.bitcast_convert_type(desc.astype(f32), u32)
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(meta, u32),
+         desc.reshape(desc.shape[0], -1)], axis=1)
 
 
 class LandmarkArchive:
@@ -140,20 +148,19 @@ class LandmarkArchive:
         self.sync_packed(np.asarray(_pack_live(lmap)))
 
     def sync_packed(self, arr: np.ndarray) -> None:
-        """`sync` from an already-fetched `_pack_live` matrix — lets the
-        caller start the bulk D2H copy asynchronously and overlap it with
-        other keyframe work (pipeline/system._keyframe_backend)."""
+        """`sync` from an already-fetched `_pack_live` uint32 matrix — lets
+        the caller start the bulk D2H copy asynchronously and overlap it
+        with other keyframe work (pipeline/system._keyframe_backend)."""
         M = arr.shape[0]
-        valid = arr[:, 0] > 0.5
-        gen = arr[:, 1].astype(np.int64)
-        xyz = arr[:, 2:5]
-        col = arr[:, 5]
-        dbits = np.ascontiguousarray(arr[:, 6:])
-        if self.desc.dtype == np.uint32:
-            desc = dbits.view(np.uint32)
-        else:
-            desc = dbits
-        desc = desc.reshape((M,) + self.desc.shape[1:])
+        meta = np.ascontiguousarray(arr[:, :6]).view(np.float32)
+        valid = meta[:, 0] > 0.5
+        gen = meta[:, 1].astype(np.int64)
+        xyz = meta[:, 2:5]
+        col = meta[:, 5]
+        draw = np.ascontiguousarray(arr[:, 6:])
+        if self.desc.dtype != np.uint32:
+            draw = draw.view(np.float32).astype(self.desc.dtype)
+        desc = draw.reshape((M,) + self.desc.shape[1:])
 
         self._ensure_slot_maps(M)
         changed = valid & (gen != self._slot_gen)

@@ -80,6 +80,18 @@ def save_system(path: str, system) -> None:
     long run must keep its dormant landmarks and spill bookkeeping —
     r3 verdict Weak #2)."""
     from zenslam_tpu.backend.bow import Vocabulary
+    from zenslam_tpu.pipeline.system import (
+        flush_pending_spill, _try_loop_closure)
+
+    # deferred work (spill_resolve_lag / loop_resolve_lag) must land before
+    # serialization: a lost pending spill would fork the resumed run's
+    # archive history, a lost pending loop verdict would drop a detected
+    # loop closure on the floor
+    flush_pending_spill(system)
+    if system._pending_loop is not None:
+        packed, pslot, pframe = system._pending_loop
+        system._pending_loop = None
+        _try_loop_closure(system, pslot, pframe, packed=packed)
 
     names, leaves = _flatten_with_names(
         {"state": system.state, "kf_db": system.kf_db, "bow_db": system.bow_db})

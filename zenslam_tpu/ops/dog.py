@@ -97,6 +97,11 @@ def dog_score(img, n_octaves: int = 3, scales_per_octave: int = 3,
     cur = img
     for o in range(1, n_octaves):
         f = 1 << o
+        # crop to even dimensions first: the 2x2-average strided slices
+        # shape-mismatch on any odd height/width (e.g. a 753-row input or an
+        # odd intermediate octave)
+        h2, w2 = cur.shape[0] // 2 * 2, cur.shape[1] // 2 * 2
+        cur = cur[:h2, :w2]
         cur = 0.25 * (cur[0::2, 0::2] + cur[1::2, 0::2]
                       + cur[0::2, 1::2] + cur[1::2, 1::2])
         s = _octave_score(cur, k, sigma0, n_dog, threshold, edge_r)

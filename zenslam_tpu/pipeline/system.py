@@ -105,6 +105,23 @@ class BackendConfig:
     # runs L frames after the keyframe, from that frame's retained device
     # state. 0 = synchronous (tests/default); bench + throughput runs use 3.
     telemetry_lag: int = 0
+    # loop-gate resolution lag IN KEYFRAMES: the gate's packed verdict is
+    # read one keyframe late (default), when its async D2H copy has long
+    # landed — the read then costs ~0 instead of the ~30 ms blocking round
+    # trip that dominated the r4 keyframe budget (ROOFLINE.md "known
+    # residue"). The pose-graph correction already tolerates latency (it
+    # transforms every affected snapshot into the corrected epoch when it
+    # fires); the only semantic change is a one-keyframe delay on the edge.
+    # 0 = resolve within the issuing keyframe (synchronous).
+    loop_resolve_lag: int = 1
+    # spill-sync resolution lag IN KEYFRAMES, same trick as the loop gate:
+    # the packed live-map transfer is consumed one keyframe late, after its
+    # async D2H copy has landed AND the keyframe's queued device work
+    # (BA etc.) has drained — measured r5: the same-keyframe consume was a
+    # 66 ms/kf blocking point (90% of the whole backend cost), deferred it
+    # is ~0. Archive contents and frustum reloads simply run one keyframe
+    # behind the live map. 0 = synchronous.
+    spill_resolve_lag: int = 1
 
 
 @dataclass
@@ -136,6 +153,16 @@ class SlamSystem:
     loop_debug: list = field(default_factory=list)
     # pipelined-telemetry queue: [(packed_tel, state_ref, frame_idx), …]
     _tel_queue: list = field(default_factory=list)
+    # deferred loop gate: (packed_verdict, kf_slot, frame_idx) issued at a
+    # keyframe and resolved `loop_resolve_lag` keyframes later
+    _pending_loop: Optional[tuple] = None
+    # deferred spill: the packed live-map transfer of the previous keyframe,
+    # consumed (archive sync + frustum reload) one keyframe later
+    _pending_spill: Optional[object] = None
+    # world/pose delta of the last pose-graph correction
+    # (R_old, t_old, R_new, t_new of the anchor keyframe) — used to carry
+    # in-flight snapshots into the corrected epoch
+    _pg_delta: Optional[tuple] = None
 
 
 def bow_n_words(bcfg: BackendConfig) -> int:
@@ -211,6 +238,24 @@ def _kf_snapshot(state: SlamState) -> KfSnap:
     )
 
 
+@jax.jit
+def _epoch_correct_snap(snap: KfSnap, R_old, t_old, R_new, t_new) -> KfSnap:
+    """Carry a KfSnap taken BEFORE a pose-graph correction into the corrected
+    world epoch: pose left-composed with T_new ∘ T_old⁻¹ (same delta as the
+    live pose, `_apply_pose_correction`), world landmark snapshot transformed
+    camera-frame-fixed (X' = R_newᵀ(R_old X + t_old − t_new), the same map
+    `_run_pose_graph` applies to the keyframe DB). Without this, a snapshot
+    queued during `telemetry_lag` (or held by the deferred loop gate) would
+    enter the keyframe DB with a drifted-epoch pose — a permanently
+    contaminated odometry edge (r4 advisor finding)."""
+    Ri, ti = se3_inverse(R_old, t_old)
+    Rp, tp = se3_compose(R_new, t_new, Ri, ti)
+    R2, t2 = se3_compose(Rp, tp, snap.R_cw, snap.t_cw)
+    Rw = R_new.T @ R_old
+    tw = R_new.T @ (t_old - t_new)
+    return snap._replace(R_cw=R2, t_cw=t2, kp_xyz=snap.kp_xyz @ Rw.T + tw)
+
+
 def _apply_pose_correction(state: SlamState, R_old, t_old, R_new, t_new) -> SlamState:
     """Propagate a keyframe correction to the live pose:
     T_cur' = (T_kf_new ∘ T_kf_old^-1) ∘ T_cur."""
@@ -278,7 +323,11 @@ def _windowed_ba_jit(db: KeyframeDB, lmap_xyz, lmap_valid, lmap_gen,
     Ri, ti = se3_inverse(R_old, t_old)
     Rd, td = se3_compose(res["R"][0], res["t"][0], Ri, ti)
     R_cur, t_cur = se3_compose(Rd, td, R_cw, t_cw)
-    rmse = jnp.stack([res["rmse_before"], res["rmse_after"]])
+    # observations referencing landmarks beyond the static M_ba compaction
+    # bound are masked out of the solve — surface the count so coverage
+    # degradation on low-overlap windows is visible, not silent (r4 advisor)
+    n_dropped = jnp.sum(p.obs_valid & ~obs_ok).astype(jnp.float32)
+    rmse = jnp.stack([res["rmse_before"], res["rmse_after"], n_dropped])
     return new_R, new_t, new_xyz, R_cur, t_cur, rmse
 
 
@@ -301,8 +350,9 @@ def _run_windowed_ba(sys: SlamSystem):
         R_cw=R_cur, t_cw=t_cur,
         lmap=sys.state.lmap._replace(xyz=new_xyz))
     sys.n_ba_runs += 1
-    # (rmse_before, rmse_after) as ONE device array — callers that want the
-    # numbers pay the device→host sync; the hot path never reads them
+    # (rmse_before, rmse_after, n_dropped_obs) as ONE device array — callers
+    # that want the numbers pay the device→host sync; the hot path never
+    # reads them. The first two slices keep the (before, after) contract.
     return rmse
 
 
@@ -320,13 +370,23 @@ def _retrain_vocab(sys: SlamSystem):
     sys.vocab = _train_vocab(sys.bcfg, jax.random.PRNGKey(13), desc, valid)
     hists = jax.vmap(lambda d, v: descriptors_to_bow(sys.vocab, d, v))(
         db.kp_desc, db.kp_valid)
-    hists = hists * db.valid[:, None]
+    # the JUST-ADDED keyframe (already in kf_db at `last_kf_slot`) is
+    # EXCLUDED from the rebuilt database: the in-flight `bow_db_add` inside
+    # `_loop_query_verify` re-inserts its (new-vocab) histogram at its own
+    # slot right after this. Rebuilding it here too would shift the bow ring
+    # pointer one past the keyframe ring every retrain — bow slot i would no
+    # longer be keyframe slot i, so loop candidates would verify against the
+    # wrong keyframes and eviction would drop the wrong entries (r4 advisor
+    # finding, severity medium).
+    cur = sys.last_kf_slot
+    keep = db.valid & (jnp.arange(K) != cur)
+    hists = hists * keep[:, None]
     doc_freq = jnp.sum((hists > 0).astype(jnp.float32), axis=0)
     sys.bow_db = BowDatabase(
         hist=hists,
-        frame_idx=db.frame_idx,
-        valid=db.valid,
-        next_slot=db.next_slot,
+        frame_idx=jnp.where(keep, db.frame_idx, -1),
+        valid=keep,
+        next_slot=jnp.asarray(cur, jnp.int32),
         doc_freq=doc_freq,
     )
     sys.last_vocab_kfs = min(sys.n_keyframes, sys.bcfg.max_keyframes)
@@ -518,6 +578,15 @@ def _run_pose_graph(sys: SlamSystem):
     lmap = sys.state.lmap
     live_xyz = lmap.xyz @ Rd[slot].T + td[slot]
     sys.state = sys.state._replace(lmap=lmap._replace(xyz=live_xyz))
+    # in-flight snapshots (queued under telemetry_lag, or the keyframe snap
+    # held by the caller) were taken in the PRE-correction epoch — carry
+    # them into the corrected one with the same anchor delta, else a later
+    # kf_db_add stores a drifted-epoch pose/landmark snapshot (r4 advisor
+    # finding, severity medium).
+    sys._pg_delta = (R_old, t_old, res["R"][slot], res["t"][slot])
+    sys._tel_queue = [
+        (packed, _epoch_correct_snap(s, *sys._pg_delta), fidx)
+        for packed, s, fidx in sys._tel_queue]
 
 
 def process_frame(sys: SlamSystem, img_l, img_r, imu=None):
@@ -596,7 +665,26 @@ def flush_pipeline(sys: SlamSystem):
             _keyframe_backend(sys, snap, frame_idx, info)
             info["backend_ms"] = (_time.time() - t1) * 1000
         out.append((tel, info))
+    # a loop gate issued at the final keyframe still deserves its verdict —
+    # resolve it now (sequence end = nothing left to overlap with)
+    if sys._pending_loop is not None:
+        packed, pslot, pframe = sys._pending_loop
+        sys._pending_loop = None
+        fired = _try_loop_closure(sys, pslot, pframe, packed=packed)
+        if out:
+            out[-1][1]["loop"] = fired
+    # …and the final keyframe's spill reaches the archive
+    flush_pending_spill(sys)
     return out
+
+
+def flush_pending_spill(sys: SlamSystem):
+    """Sync a deferred spill transfer into the archive (sequence end /
+    checkpoint time — a lost pending spill would fork the archive history
+    vs an uninterrupted run)."""
+    if sys._pending_spill is not None and sys.archive is not None:
+        sys.archive.sync_packed(np.asarray(sys._pending_spill))
+        sys._pending_spill = None
 
 
 def _keyframe_backend(sys: SlamSystem, snap: KfSnap, frame_idx: int,
@@ -605,6 +693,55 @@ def _keyframe_backend(sys: SlamSystem, snap: KfSnap, frame_idx: int,
     keyframe (immediately in synchronous mode; L frames earlier in pipelined
     mode) — snapshots come from it, corrections apply to the LIVE
     ``sys.state``."""
+    import time as _time
+
+    _ph = {}
+    _t0 = _time.time()
+
+    def _mark(name):
+        nonlocal _t0
+        t = _time.time()
+        _ph[name] = (t - _t0) * 1000
+        _t0 = t
+
+    backend_info["phases"] = _ph
+    # consume the PREVIOUS keyframe's deferred spill + frustum-reload BEFORE
+    # the loop resolve: its async D2H copy landed and the device queue
+    # drained during the intervening frames, so the read is ~free (measured
+    # r5: the same-keyframe consume blocked 66 ms/kf — 90% of the whole
+    # backend cost). Reloads thus insert pre-correction-epoch landmarks into
+    # the pre-correction live map; a pose graph firing in the resolve below
+    # then corrects both together.
+    if sys.bcfg.enable_map_spill and sys.archive is not None:
+        if sys._pending_spill is not None:
+            sys.archive.sync_packed(np.asarray(sys._pending_spill))
+            sys._pending_spill = None
+        new_lmap = sys.archive.reload(
+            sys.state.lmap, sys.state.R_cw, sys.state.t_cw,
+            sys.rig.left, sys.n_frames,
+            reload_max=sys.bcfg.spill_reload_max,
+            radius=sys.bcfg.spill_radius)
+        if new_lmap is not sys.state.lmap:
+            sys.state = sys.state._replace(lmap=new_lmap)
+        backend_info["spill"] = {"archived": len(sys.archive),
+                                 "reloads": sys.archive.n_reloads}
+    _mark("spill_resolve")
+    # resolve the PREVIOUS keyframe's deferred loop gate FIRST: its packed
+    # verdict has streamed in during the intervening frames, so the read
+    # costs ~0 instead of the blocking ~30 ms round trip of same-keyframe
+    # resolution (`loop_resolve_lag`). Running it before anything else means
+    # a fired pose graph corrects the epoch BEFORE this keyframe's snapshot
+    # enters the database — `_epoch_correct_snap` carries the in-hand snap
+    # (taken pre-correction) across. backend_info["loop"] at keyframe N thus
+    # reports the resolution of keyframe N-1's gate.
+    if sys._pending_loop is not None:
+        packed, pslot, pframe = sys._pending_loop
+        sys._pending_loop = None
+        fired = _try_loop_closure(sys, pslot, pframe, packed=packed)
+        backend_info["loop"] = fired
+        if fired:
+            snap = _epoch_correct_snap(snap, *sys._pg_delta)
+    _mark("resolve")
     prev_slot = sys.last_kf_slot
     # host mirror of kf_db.next_slot (ring pointer) — saves one scalar
     # round trip per keyframe
@@ -638,6 +775,7 @@ def _keyframe_backend(sys: SlamSystem, snap: KfSnap, frame_idx: int,
         sys.edge_R.append(Rm)
         sys.edge_t.append(tm)
         sys.edge_w.append(1.0)
+    _mark("kf_add")
     # loop-closure gate ISSUE (config[3]): dispatch the query + verification
     # and start its packed read before BA so the transfer overlaps BA's
     # device time. The candidates' landmark snapshots are immutable and BA
@@ -656,20 +794,34 @@ def _keyframe_backend(sys: SlamSystem, snap: KfSnap, frame_idx: int,
             # quantizer tracks the trajectory instead of freezing)
             _retrain_vocab(sys)
         pending_loop = _loop_issue(sys, slot, frame_idx)
-    # windowed BA (config[1]/[2])
+    _mark("loop_issue")
+    # windowed BA (config[1]/[2]) — "ba" is the packed
+    # (rmse_before, rmse_after, n_dropped_obs) device vector; no host slicing
+    # here (each slice would dispatch its own tiny device program per kf)
     if sys.bcfg.ba_every_kf and prev_slot >= 0:
         backend_info["ba"] = _run_windowed_ba(sys)
-    # loop-closure RESOLVE: the packed verdict has streamed in during BA.
-    # Runs BEFORE the spill so a fired pose graph (which transforms the
-    # keyframe snapshots AND the live map into the corrected epoch) is
-    # reflected in what the archive syncs and reloads this keyframe —
-    # packing pre-correction positions and then reloading them into the
-    # corrected map would mix world epochs.
+    _mark("ba_dispatch")
+    # loop-closure RESOLVE: deferred to the NEXT keyframe by default
+    # (`loop_resolve_lag` — the packed verdict streams in across the
+    # intervening ~5-6 frames and the read becomes free). Synchronous mode
+    # (lag 0) resolves here, after BA, running BEFORE the spill so a fired
+    # pose graph (which transforms the keyframe snapshots AND the live map
+    # into the corrected epoch) is reflected in what the archive syncs this
+    # keyframe. In deferred mode the spill below may pack pre-correction
+    # positions for one keyframe; the next keyframe's sync refreshes the
+    # same (slot, generation) rows with corrected ones.
     if pending_loop is not None:
-        backend_info["loop"] = _try_loop_closure(sys, slot, frame_idx,
-                                                 packed=pending_loop)
-    # landmark spill (map-scaling axis): ONE bitcast-packed transfer of the
-    # (BA-refined, loop-corrected) live map, then frustum reload-on-revisit
+        if sys.bcfg.loop_resolve_lag > 0:
+            sys._pending_loop = (pending_loop, slot, frame_idx)
+        else:
+            backend_info["loop"] = _try_loop_closure(sys, slot, frame_idx,
+                                                     packed=pending_loop)
+    _mark("resolve_sync")
+    # landmark spill PACK (map-scaling axis): ONE uint32-packed transfer of
+    # the (BA-refined, loop-corrected) live map (integer carrier —
+    # descriptors never cross the tunnel as NaN-able floats). The archive
+    # sync consumes it `spill_resolve_lag` keyframes later (top of this
+    # function); frustum reload always runs there, one keyframe behind.
     if sys.bcfg.enable_map_spill and sys.archive is not None:
         from zenslam_tpu.backend.map_archive import _pack_live
 
@@ -678,16 +830,12 @@ def _keyframe_backend(sys: SlamSystem, snap: KfSnap, frame_idx: int,
             spill_packed.copy_to_host_async()
         except Exception:
             pass
-        sys.archive.sync_packed(np.asarray(spill_packed))
-        new_lmap = sys.archive.reload(
-            sys.state.lmap, sys.state.R_cw, sys.state.t_cw,
-            sys.rig.left, sys.n_frames,
-            reload_max=sys.bcfg.spill_reload_max,
-            radius=sys.bcfg.spill_radius)
-        if new_lmap is not sys.state.lmap:
-            sys.state = sys.state._replace(lmap=new_lmap)
-        backend_info["spill"] = {"archived": len(sys.archive),
-                                 "reloads": sys.archive.n_reloads}
+        _mark("spill_pack")
+        if sys.bcfg.spill_resolve_lag > 0:
+            sys._pending_spill = spill_packed
+        else:
+            sys.archive.sync_packed(np.asarray(spill_packed))
+            _mark("spill_sync")
 
 
 def run_system(sys: SlamSystem, left, right, imu=None):
