@@ -125,14 +125,14 @@ def _lk_fb_kernel(
     # both track directions)
     r_i = jax.lax.broadcasted_iota(jnp.int32, (BG, B * _TH), 0)
     k_i = jax.lax.broadcasted_iota(jnp.int32, (BG, B * _TH), 1)
-    row_blk = [(r_i // G == b) & (k_i // _TH == b) for b in range(B)]
-    row_w = r_i % G      # window row index field
-    k_row = k_i % _TH    # tile row index field
+    row_blk = [r_i // G == b for b in range(B)]
+    row_w_f = (r_i % G).astype(jnp.float32)   # window row index field
+    k_row_f = k_i.astype(jnp.float32)         # stacked-tile row index field
     k2_i = jax.lax.broadcasted_iota(jnp.int32, (_TW, BG), 0)
     c_i = jax.lax.broadcasted_iota(jnp.int32, (_TW, BG), 1)
     col_blk = [c_i // G == b for b in range(B)]
-    col_w = c_i % G      # window col index field
-    k_col = k2_i         # tile col index field
+    col_w_f = (c_i % G).astype(jnp.float32)   # window col index field
+    k_col_f = k2_i.astype(jnp.float32)        # tile col index field
 
     def sample_block(refs_lvl, l, pxs, pys):
         """Bilinear (G, G) grids for B points at level l. Static bounds.
@@ -153,10 +153,18 @@ def _lk_fb_kernel(
         dt = refs_lvl[l].dtype
         tiles = []
         in_oks = []
-        # selector accumulation in f32 (Mosaic has no scalar bf16 arith);
-        # cast once before the MXU pass
-        Rv = jnp.zeros((BG, B * _TH), jnp.float32)
-        Cv = jnp.zeros((_TW, BG), jnp.float32)
+        # Bilinear selectors as TRIANGLE functions of the CONTINUOUS window
+        # coordinate: one_hot(t0)·(1-f) + one_hot(t1)·f over edge-clamped taps
+        # equals max(0, 1 - |k - clip(y_cont, 0, h-1)|) exactly (interior AND
+        # border: when both taps clamp to the same index the triangle puts
+        # weight 1 there) — about half the per-sample VPU field ops of the
+        # two-one-hot construction. The row side needs no block mask in the
+        # final expression: block b's target lives in [b·_TH, b·_TH+31] and
+        # every other block's column is ≥ 1 away, where the triangle is 0.
+        # Target accumulation in f32 (Mosaic has no scalar bf16 arith);
+        # cast once before the MXU pass.
+        Yr = jnp.zeros((BG, B * _TH), jnp.float32)   # row targets
+        Xc = jnp.zeros((_TW, BG), jnp.float32)       # col targets
         for b in range(B):
             px, py = pxs[b], pys[b]
             ix = jnp.floor(px)
@@ -171,20 +179,15 @@ def _lk_fb_kernel(
             ox = jnp.clip((cx // 128) * 128, 0, Wp - _TW)
             tiles.append(refs_lvl[l][pl.ds(pl.multiple_of(oy, 8), _TH),
                                      pl.ds(pl.multiple_of(ox, 128), _TW)])
-            fyf = py - iy
-            fxf = px - ix
-            t0 = jnp.clip(row_w + cy, 0, h - 1) - oy
-            t1 = jnp.clip(row_w + cy + 1, 0, h - 1) - oy
-            Rv = Rv + jnp.where(
-                row_blk[b],
-                (k_row == t0).astype(jnp.float32) * (1.0 - fyf)
-                + (k_row == t1).astype(jnp.float32) * fyf, 0.0)
-            u0 = jnp.clip(col_w + cx, 0, w - 1) - ox
-            u1 = jnp.clip(col_w + cx + 1, 0, w - 1) - ox
-            Cv = Cv + jnp.where(
-                col_blk[b],
-                (k_col == u0).astype(jnp.float32) * (1.0 - fxf)
-                + (k_col == u1).astype(jnp.float32) * fxf, 0.0)
+            # continuous tap coordinate = window_index + (p - radius - 1)
+            yb = jnp.clip(row_w_f + (py - radius - 1.0), 0.0, h - 1.0) \
+                + (b * _TH - oy).astype(jnp.float32)
+            Yr = Yr + jnp.where(row_blk[b], yb, 0.0)
+            xb = jnp.clip(col_w_f + (px - radius - 1.0), 0.0, w - 1.0) \
+                - ox.astype(jnp.float32)
+            Xc = Xc + jnp.where(col_blk[b], xb, 0.0)
+        Rv = jnp.maximum(0.0, 1.0 - jnp.abs(k_row_f - Yr))
+        Cv = jnp.maximum(0.0, 1.0 - jnp.abs(k_col_f - Xc))
         T = jnp.concatenate(tiles, axis=0)  # (B*_TH, _TW)
         if dt == jnp.bfloat16:
             # bf16 MXU inputs with f32 accumulation (v5e native bf16 passes;
