@@ -112,3 +112,57 @@ class TestRank2:
         # exact rank drop
         s = np.linalg.svd(Fp, compute_uv=False)
         assert s[:, 2].max() < 2e-3 * s[:, 0].min()
+
+
+class TestInvSpd:
+    """inv_spd / solve_spd must agree with np.linalg.inv on SPD batches of
+    every supported size, including the ill-conditioned trace-normalized +
+    1e-5-shifted matrices the DLT eigvec solvers feed it."""
+
+    def _spd(self, rng, batch, n, cond=1e4):
+        Q, _ = np.linalg.qr(rng.normal(size=(batch, n, n)))
+        # log-uniform spectrum spanning the requested condition number
+        lam = np.exp(rng.uniform(0, np.log(cond), size=(batch, n)))
+        lam /= lam.max(-1, keepdims=True)
+        return np.einsum("bik,bk,bjk->bij", Q, lam, Q)
+
+    def test_matches_numpy_all_sizes(self):
+        from zenslam_tpu.geometry.polar import inv_spd
+        rng = np.random.default_rng(7)
+        for n in (3, 6, 9, 12):
+            A = self._spd(rng, 32, n, cond=1e3)
+            Ai = np.asarray(inv_spd(jnp.asarray(A, jnp.float32)))
+            eye = np.broadcast_to(np.eye(n), A.shape)
+            resid = np.abs(A @ Ai - eye).max()
+            assert resid < 5e-3, (n, resid)
+
+    def test_inverse_iteration_conditioning(self):
+        # the pnp/epipolar usage: normalized ATA + 1e-5 shift, then power
+        # iteration on the inverse must still find the smallest eigvec
+        from zenslam_tpu.geometry.polar import inv_spd
+        rng = np.random.default_rng(8)
+        for n in (9, 12):
+            A = self._spd(rng, 16, n, cond=1.0)
+            # construct a near-null direction: λ_min ≈ 0, rest O(1)
+            w, V = np.linalg.eigh(A)
+            w[:, 0] = 1e-7
+            A = np.einsum("bik,bk,bjk->bij", V, w, V)
+            tr = np.trace(A, axis1=-2, axis2=-1)
+            An = A / (tr[:, None, None] / n) + 1e-5 * np.eye(n)
+            Ai = np.asarray(inv_spd(jnp.asarray(An, jnp.float32)))
+            v = np.ones((16, n)) / np.sqrt(n)
+            for _ in range(6):
+                v = np.einsum("bij,bj->bi", Ai, v)
+                v /= np.linalg.norm(v, axis=-1, keepdims=True)
+            cos = np.abs(np.einsum("bi,bi->b", v, V[:, :, 0]))
+            assert cos.min() > 0.99
+
+    def test_solve_spd(self):
+        from zenslam_tpu.geometry.polar import solve_spd
+        rng = np.random.default_rng(9)
+        A = self._spd(rng, 8, 6, cond=1e3)
+        b = rng.normal(size=(8, 6))
+        x = np.asarray(solve_spd(jnp.asarray(A, jnp.float32),
+                                 jnp.asarray(b, jnp.float32)))
+        ref = np.linalg.solve(A, b[..., None])[..., 0]
+        np.testing.assert_allclose(x, ref, rtol=2e-2, atol=2e-2)

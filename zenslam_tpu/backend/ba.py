@@ -269,10 +269,11 @@ def _obs_jacobians(p: BAProblem, R, t, xyz, huber_delta: float):
 
 
 def _inv6x6_chol(U):
-    """Batched (K,6,6) SPD inverse via Cholesky (Jacobi preconditioner)."""
-    L = jnp.linalg.cholesky(U + 1e-8 * jnp.eye(6, dtype=U.dtype)[None])
-    eye = jnp.broadcast_to(jnp.eye(6, dtype=U.dtype), U.shape)
-    return jax.vmap(lambda Lk, I: jax.scipy.linalg.cho_solve((Lk, True), I))(L, eye)
+    """Batched (K,6,6) SPD inverse (Jacobi preconditioner) via the fused
+    blocked-Schur `geometry/polar.py:inv_spd` — the batched Cholesky +
+    per-block cho_solve custom calls it replaces were latency-bound."""
+    from zenslam_tpu.geometry.polar import inv_spd
+    return inv_spd(U + 1e-8 * jnp.eye(6, dtype=U.dtype)[None])
 
 
 @functools.partial(

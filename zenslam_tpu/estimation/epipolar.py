@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from zenslam_tpu.estimation.ransac import ransac_sample_indices
-from zenslam_tpu.geometry.polar import project_rank2
+from zenslam_tpu.geometry.polar import project_rank2, inv_spd
 from zenslam_tpu.geometry.triangulate import triangulate_dlt
 
 
@@ -42,18 +42,20 @@ def _hartley_normalize(pts, w=None):
 
 def _smallest_eigvec_9(ATA, iters: int = 6):
     """Smallest eigenvector of a 9x9 PSD normal matrix via shifted inverse
-    iteration (one Cholesky + triangular solves) — same scheme and rationale
-    as `estimation/pnp.py:_smallest_eigvec_12`: the DLT null vector is well
-    separated, and the batched LAPACK Eigh custom call dominates the vmapped
-    RANSAC hypothesis batch (~2 ms/frame with 128 hypotheses)."""
+    iteration — same scheme and rationale as
+    `estimation/pnp.py:_smallest_eigvec_12`: the DLT null vector is well
+    separated, and a batched LAPACK-style custom call (Eigh, or the Cholesky
+    this formulation previously used) dominates the vmapped RANSAC hypothesis
+    batch. The inverse is the fused blocked-Schur `geometry/polar.py:inv_spd`
+    and the power iterations are fused matmuls."""
     tr = jnp.trace(ATA)
     scale = jnp.maximum(tr / 9.0, 1e-20)
     A = ATA / scale + 1e-5 * jnp.eye(9, dtype=ATA.dtype)
-    chol = jax.scipy.linalg.cho_factor(A, lower=True)
+    Ainv = inv_spd(A)
     v = jnp.full((9,), 1.0 / 3.0, ATA.dtype)
 
     def it(_, v):
-        z = jax.scipy.linalg.cho_solve(chol, v)
+        z = Ainv @ v
         return z / jnp.maximum(jnp.linalg.norm(z), 1e-30)
 
     return jax.lax.fori_loop(0, iters, it, v)

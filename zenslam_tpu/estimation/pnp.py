@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from zenslam_tpu.geometry.lie import so3_exp, so3_hat, so3_orthonormalize
-from zenslam_tpu.geometry.polar import polar_so3
+from zenslam_tpu.geometry.polar import polar_so3, inv_spd as polar_inv_spd, solve_spd
 from zenslam_tpu.estimation.ransac import ransac_sample_indices
 
 
@@ -51,13 +51,12 @@ def _smallest_eigvec_12(ATA):
     tr = jnp.trace(ATA)
     scale = jnp.maximum(tr / 12.0, 1e-20)
     A = ATA / scale + 1e-5 * jnp.eye(12, dtype=ATA.dtype)
-    chol = jax.scipy.linalg.cho_factor(A, lower=True)
-    # ONE batched 12-rhs solve materializes A^-1, then the 6 inverse-power
-    # iterations are fused matmuls — vs 6 SEQUENTIAL cho_solve custom calls
-    # per hypothesis (each a latency-bound LAPACK-style pass the compiler
-    # cannot fuse; a ROOFLINE r3 lever worth ~0.45 ms/frame over the
-    # vmapped 2x128-hypothesis batch)
-    Ainv = jax.scipy.linalg.cho_solve(chol, jnp.eye(12, dtype=ATA.dtype))
+    # fused blocked-Schur inverse (geometry/polar.py) — the batched
+    # cho_factor/cho_solve custom calls this replaces were the cascade's
+    # last LAPACK-style passes (ROOFLINE r4: 0.32 ms/frame over the vmapped
+    # 2x128-hypothesis batch); the 6 inverse-power iterations stay fused
+    # matmuls on the materialized A^-1
+    Ainv = polar_inv_spd(A)
     v = jnp.full((12,), 1.0 / jnp.sqrt(12.0), ATA.dtype)
 
     def it(_, v):
@@ -246,7 +245,10 @@ def refine_pnp_gn(K, R0, t0, X, uv, weight_mask, iters: int = 10, huber_delta: f
         JW = J * wgt[:, None, None]
         H = jnp.einsum("nij,nik->jk", JW, J) + damping * jnp.eye(6, dtype=X.dtype)
         g = jnp.einsum("nij,ni->j", JW, r)
-        dx = jnp.linalg.solve(H, -g)
+        # fused 3+3 blocked-Schur solve — jnp.linalg.solve on a 6x6 is a
+        # sequential LU custom call per GN iteration (latency-bound inside
+        # this fori_loop); H is damped SPD by construction
+        dx = solve_spd(H, -g)
         dt, dw = dx[:3], dx[3:]
         Rn = so3_exp(dw) @ R
         tn = so3_exp(dw) @ t + dt  # left-multiply update of T_cam_world

@@ -136,6 +136,79 @@ def _inv3(A, eps: float = 0.0):
     return adj / det[..., None, None]
 
 
+def _chol_unrolled(A):
+    """Fused lower-Cholesky of a small SPD (…,n,n) matrix, column-unrolled at
+    trace time: every op is an elementwise/small-contraction over the batch
+    dims, so the whole factorization fuses into the surrounding program — no
+    LAPACK-style custom call, with the custom call's backward stability
+    (unlike adjugate/Schur-block inversion, which loses ~cond·eps and fell
+    apart on the cond≈1e6 shifted DLT normal matrices the RANSAC solvers
+    feed this). The sqrt argument is clamped so a (numerically) semidefinite
+    input yields a finite factor rather than NaN."""
+    n = A.shape[-1]
+    L = jnp.zeros_like(A)
+    for j in range(n):
+        if j:
+            c = A[..., j:, j] - jnp.einsum(
+                "...ik,...k->...i", L[..., j:, :j], L[..., j, :j])
+        else:
+            c = A[..., :, 0]
+        d = jnp.sqrt(jnp.maximum(c[..., 0], 1e-30))
+        col = c / d[..., None]
+        col = col.at[..., 0].set(d)
+        L = L.at[..., j:, j].set(col)
+    return L
+
+
+def _tri_solve_unrolled(L, B, lower: bool):
+    """Solve L X = B (or Lᵀ X = B with lower=False) by unrolled substitution.
+    L (…,n,n) lower-triangular, B (…,n,m)."""
+    n = L.shape[-1]
+    order = range(n) if lower else range(n - 1, -1, -1)
+    xs = {}
+    for i in order:
+        acc = B[..., i, :]
+        ks = range(i) if lower else range(i + 1, n)
+        for k in ks:
+            lik = L[..., i, k] if lower else L[..., k, i]
+            acc = acc - lik[..., None] * xs[k]
+        xs[i] = acc / L[..., i, i, None]
+    return jnp.stack([xs[i] for i in range(n)], axis=-2)
+
+
+def inv_spd(A):
+    """Fused inverse of a small symmetric positive-definite (…,n,n) matrix
+    via column-unrolled Cholesky + unrolled triangular solves — numerically
+    equivalent to cho_factor/cho_solve but with zero custom calls, so it
+    fuses into vmapped RANSAC hypothesis batches and the per-landmark 6x6
+    blocks of the BA Schur step (ROOFLINE r4: the batched 12x12/9x9 Cholesky
+    custom calls cost 0.45 ms/frame in the cascade alone). n=3 uses the
+    analytic adjugate."""
+    n = A.shape[-1]
+    if n == 3:
+        return _inv3(A)
+    L = _chol_unrolled(A)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    Y = _tri_solve_unrolled(L, eye, lower=True)
+    return _tri_solve_unrolled(L, Y, lower=False)
+
+
+def solve_spd(A, b):
+    """Fused solve A x = b for small SPD A (…,n,n), b (…,n) or (…,n,m) via
+    the unrolled Cholesky — no custom call."""
+    n = A.shape[-1]
+    squeeze = b.ndim == A.ndim - 1
+    if squeeze:
+        b = b[..., None]
+    if n == 3:
+        x = _inv3(A) @ b
+    else:
+        L = _chol_unrolled(A)
+        x = _tri_solve_unrolled(L, _tri_solve_unrolled(L, b, lower=True),
+                                lower=False)
+    return x[..., 0] if squeeze else x
+
+
 def smallest_eigvec_3(A, iters: int = 6, shift: float = 1e-4):
     """Smallest eigenvector of a symmetric PSD (…,3,3) matrix by shifted
     inverse iteration with the ANALYTIC 3x3 inverse (no Cholesky custom
