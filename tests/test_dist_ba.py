@@ -69,3 +69,84 @@ class TestShardLayout:
         p, *_ = synth_ba_problem(rng, n_kf=3, n_lm=48, M_cap=48, K_cap=4)
         ps = shard_ba_problem(p, 8)
         assert int(ps.obs_valid.sum()) == int(p.obs_valid.sum())
+
+
+class TestDeviceRouter:
+    """shard_ba_problem_jit (the live path's on-device router) must agree
+    with the host-side shard_ba_problem layout semantics."""
+
+    def test_matches_host_router(self, rng):
+        from zenslam_tpu.parallel.dist_ba import shard_ba_problem_jit
+        p, *_ = synth_ba_problem(rng, n_kf=3, n_lm=64, M_cap=64, K_cap=4)
+        host = shard_ba_problem(p, 8)
+        ops = host.obs_kf.shape[0] // 8
+        dev, n_drop = shard_ba_problem_jit(p, 8, ops)
+        assert int(n_drop) == 0
+        # same multiset of (shard, kf, local_lm, u, v) observation tuples
+        def tuples(ps, O_shard):
+            out = set()
+            lm = np.asarray(ps.obs_lm); kf = np.asarray(ps.obs_kf)
+            uv = np.asarray(ps.obs_uv); ok = np.asarray(ps.obs_valid)
+            cam = np.asarray(ps.obs_cam)
+            for i in np.flatnonzero(ok):
+                out.add((i // O_shard, int(kf[i]), int(lm[i]), int(cam[i]),
+                         round(float(uv[i, 0]), 4), round(float(uv[i, 1]), 4)))
+            return out
+        assert tuples(host, ops) == tuples(dev, ops)
+
+    def test_drop_counting(self, rng):
+        from zenslam_tpu.parallel.dist_ba import shard_ba_problem_jit
+        p, *_ = synth_ba_problem(rng, n_kf=3, n_lm=64, M_cap=64, K_cap=4)
+        n_valid = int(p.obs_valid.sum())
+        dev, n_drop = shard_ba_problem_jit(p, 8, 2)  # starve the shards
+        assert int(n_drop) == n_valid - int(dev.obs_valid.sum())
+        assert int(n_drop) > 0
+
+    def test_dist_solve_from_device_router(self, rng, mesh8):
+        from zenslam_tpu.parallel.dist_ba import shard_ba_problem_jit
+        p, R_gt, t_gt, X_gt = synth_ba_problem(rng, n_kf=4, n_lm=120,
+                                               M_cap=128, K_cap=8,
+                                               pose_noise=0.04)
+        ref = bundle_adjust(p, iterations=12)
+        O = p.obs_kf.shape[0]
+        ps, n_drop = shard_ba_problem_jit(p, 8, O)
+        assert int(n_drop) == 0
+        res = dist_bundle_adjust(ps, mesh8, iterations=12)
+        np.testing.assert_allclose(np.asarray(res["t"][:4]),
+                                   np.asarray(ref["t"][:4]), atol=5e-3)
+
+
+class TestLiveDistBackend:
+    """ba_solver='dist' runs the sharded solver inside the LIVE keyframe
+    backend (r4 verdict task: promote dist BA from demo to live capability)."""
+
+    def test_live_dist_matches_dense(self):
+        from zenslam_tpu.io.synthetic import make_sequence
+        from zenslam_tpu.pipeline.state import SlamConfig
+        from zenslam_tpu.pipeline.system import (BackendConfig, create_system,
+                                                 run_system)
+        cfg = SlamConfig(max_keypoints=256, max_landmarks=2048, pnp_iters=128,
+                         rigid_iters=128, kf_min_frames=2,
+                         kf_min_translation=0.04)
+        seq = make_sequence(np.random.default_rng(11), n_frames=10,
+                            motion="strafe", speed=0.6)
+        results = {}
+        for solver in ("dense", "dist"):
+            sysm = create_system(
+                cfg, BackendConfig(ba_every_kf=True,
+                                   enable_loop_closure=False,
+                                   ba_solver=solver),
+                seq.rig, seq.left[0].shape)
+            tel, infos = run_system(sysm, seq.left, seq.right)
+            assert sysm.n_ba_runs >= 1
+            ba_runs = [np.asarray(i["ba"]) for i in infos
+                       if i["ba"] is not None]
+            assert all(r[1] <= r[0] * 1.05 for r in ba_runs)
+            results[solver] = (np.asarray(tel.t_cw), np.asarray(sysm.kf_db.t),
+                               np.asarray(sysm.kf_db.valid))
+        t_dense, kf_dense, v = results["dense"]
+        t_dist, kf_dist, v2 = results["dist"]
+        np.testing.assert_array_equal(v, v2)
+        # same optimum to f32 convergence noise (same LM schedule both sides)
+        np.testing.assert_allclose(t_dist, t_dense, atol=2e-3)
+        np.testing.assert_allclose(kf_dist[v], kf_dense[v], atol=2e-3)

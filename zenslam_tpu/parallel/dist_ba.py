@@ -112,6 +112,55 @@ def shard_ba_problem(p: BAProblem, n_shards: int, obs_per_shard: int | None = No
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n_shards", "obs_per_shard"))
+def shard_ba_problem_jit(p: BAProblem, n_shards: int, obs_per_shard: int):
+    """DEVICE-side (jittable, static-shape) counterpart of shard_ba_problem —
+    what the LIVE backend uses so `ba_solver: "dist"` stays one fused device
+    program with no host round trip per keyframe.
+
+    Routing: stable-sort observations by owner shard (owner = obs_lm // ms,
+    invalid → n_shards so they sort last), rank-within-shard via a
+    searchsorted segment-start subtraction, scatter into the per-shard padded
+    layout with shard-LOCAL landmark indices. Observations beyond
+    ``obs_per_shard`` on a hot shard are dropped (masked), and the count is
+    returned so coverage loss is visible, not silent.
+
+    Requires M divisible by n_shards (the live window compaction rounds its
+    landmark bound up to a shard multiple). Returns (problem, n_dropped).
+    """
+    M = p.xyz.shape[0]
+    if M % n_shards:
+        raise ValueError(f"M={M} not divisible by n_shards={n_shards}")
+    ms = M // n_shards
+    O = p.obs_kf.shape[0]
+    owner = jnp.where(p.obs_valid, p.obs_lm // ms, n_shards).astype(jnp.int32)
+    order = jnp.argsort(owner, stable=True)
+    so = owner[order]
+    start = jnp.searchsorted(so, jnp.arange(n_shards, dtype=so.dtype))
+    rank = (jnp.arange(O, dtype=jnp.int32)
+            - start[jnp.clip(so, 0, n_shards - 1)].astype(jnp.int32))
+    keep = (so < n_shards) & (rank < obs_per_shard)
+    O_new = n_shards * obs_per_shard
+    # dropped rows target index O_new -> discarded by mode="drop"
+    dest = jnp.where(keep, so * obs_per_shard + rank, O_new)
+
+    def scat(src_sorted, dtype=None):
+        out = jnp.zeros((O_new,) + src_sorted.shape[1:],
+                        dtype or src_sorted.dtype)
+        return out.at[dest].set(src_sorted, mode="drop")
+
+    lm_local = jnp.where(keep, p.obs_lm[order] - so * ms, 0)
+    ps = p._replace(
+        obs_kf=scat(p.obs_kf[order]),
+        obs_lm=scat(lm_local),
+        obs_uv=scat(p.obs_uv[order]),
+        obs_cam=scat(p.obs_cam[order]),
+        obs_valid=scat(jnp.ones(O, bool)),
+    )
+    n_dropped = (jnp.sum(so < n_shards) - jnp.sum(keep)).astype(jnp.int32)
+    return ps, n_dropped
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "iterations", "refine_landmarks"),

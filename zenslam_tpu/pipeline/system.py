@@ -56,8 +56,14 @@ class BackendConfig:
     # "cg" (matrix-free, full-map scale), "auto" = cg when the BA window
     # itself exceeds 16 keyframes (the problem is compacted to the window,
     # so the dense path's (M, K, 6, 3) blocks scale with ba_window, not
-    # with the keyframe-db capacity)
+    # with the keyframe-db capacity), or "dist": the LIVE multi-device
+    # Schur path (BASELINE config[4]) — landmark blocks sharded over a
+    # jax mesh, per-shard landmark elimination, psum-reduced camera system
+    # (parallel/dist_ba.py), routed on-device so the keyframe stays one
+    # fused dispatch
     ba_solver: str = "auto"
+    # device count for ba_solver="dist": 0 = every visible device
+    dist_devices: int = 0
     # loop closure
     enable_loop_closure: bool = True
     # vocabulary shape: levels=2 is the reference-grade hierarchical tree
@@ -265,10 +271,11 @@ def _apply_pose_correction(state: SlamState, R_old, t_old, R_new, t_new) -> Slam
     return state._replace(R_cw=R_cur, t_cw=t_cur)
 
 
-@functools.partial(jax.jit, static_argnames=("W", "use_cg", "iterations"))
+@functools.partial(jax.jit,
+                   static_argnames=("W", "solver", "iterations", "mesh"))
 def _windowed_ba_jit(db: KeyframeDB, lmap_xyz, lmap_valid, lmap_gen,
                      R_cw, t_cw, rig: StereoRig,
-                     W: int, use_cg: bool, iterations: int):
+                     W: int, solver: str, iterations: int, mesh=None):
     """The WHOLE windowed-BA step as one jitted program: window compaction,
     observation harvest, LM-Schur solve, pose/landmark write-back, and the
     live-pose correction — one device dispatch instead of ~15 (measured r4:
@@ -294,6 +301,12 @@ def _windowed_ba_jit(db: KeyframeDB, lmap_xyz, lmap_valid, lmap_gen,
     # worst realistic window (overflow obs are masked, not mis-assigned).
     M = lmap_xyz.shape[0]
     M_ba = min(M, 4 * db.kp_lm.shape[1])
+    if solver == "dist":
+        # block-sharded landmark dimension must divide evenly over the mesh
+        n_sh = mesh.shape["m"]
+        M_ba = min(M, -(-M_ba // n_sh) * n_sh)
+        if M_ba % n_sh:
+            raise ValueError(f"map capacity {M} not shardable over {n_sh}")
     ref = jnp.zeros(M, bool).at[
         jnp.where(p.obs_valid, p.obs_lm, M)].set(True, mode="drop")
     ref = ref & p.lm_valid
@@ -309,7 +322,23 @@ def _windowed_ba_jit(db: KeyframeDB, lmap_xyz, lmap_valid, lmap_gen,
         obs_lm=jnp.clip(new_obs_lm, 0, M_ba - 1),
         obs_valid=obs_ok,
     )
-    if use_cg:
+    if solver == "dist":
+        # LIVE multi-device path (BASELINE config[4]): landmark blocks
+        # sharded over the mesh, Schur elimination local per shard, reduced
+        # camera system psum-assembled over ICI — same LM schedule as the
+        # dense path, so single-mesh results agree to f32 convergence noise.
+        from zenslam_tpu.backend.ba import ba_cost
+        from zenslam_tpu.parallel.dist_ba import (
+            dist_bundle_adjust, shard_ba_problem_jit)
+
+        O = pc.obs_kf.shape[0]
+        obs_per_shard = O if n_sh == 1 else min(O, 2 * (-(-O // n_sh)))
+        ps, _n_route_drop = shard_ba_problem_jit(pc, n_sh, obs_per_shard)
+        res = dist_bundle_adjust(ps, mesh, iterations=iterations)
+        _, rmse0 = ba_cost(pc)
+        _, rmse1 = ba_cost(pc, res["R"], res["t"], res["xyz"])
+        res = dict(res, rmse_before=rmse0, rmse_after=rmse1)
+    elif solver == "cg":
         res = bundle_adjust_cg(pc, iterations=iterations)
     else:
         res = bundle_adjust(pc, iterations=iterations)
@@ -331,6 +360,15 @@ def _windowed_ba_jit(db: KeyframeDB, lmap_xyz, lmap_valid, lmap_gen,
     return new_R, new_t, new_xyz, R_cur, t_cur, rmse
 
 
+@functools.lru_cache(maxsize=4)
+def _live_ba_mesh(n_devices: int):
+    """Mesh for the live ba_solver="dist" path (cached: Mesh construction
+    touches the device topology). n_devices=0 → every visible device."""
+    from zenslam_tpu.parallel.dist_ba import make_ba_mesh
+
+    return make_ba_mesh(n_devices or None)
+
+
 def _run_windowed_ba(sys: SlamSystem):
     """Windowed Schur BA over the most recent keyframes; write back.
 
@@ -339,12 +377,14 @@ def _run_windowed_ba(sys: SlamSystem):
     for K=ba_window — the dense path's (M, K, 6, 3) block tensor and the
     (6K, 6K) reduced system scale with the window, not the db capacity."""
     W = sys.bcfg.ba_window
-    use_cg = (sys.bcfg.ba_solver == "cg"
-              or (sys.bcfg.ba_solver == "auto" and W > 16))
+    solver = sys.bcfg.ba_solver
+    if solver == "auto":
+        solver = "cg" if W > 16 else "dense"
+    mesh = _live_ba_mesh(sys.bcfg.dist_devices) if solver == "dist" else None
     new_R, new_t, new_xyz, R_cur, t_cur, rmse = _windowed_ba_jit(
         sys.kf_db, sys.state.lmap.xyz, sys.state.lmap.valid,
         sys.state.lmap.generation, sys.state.R_cw, sys.state.t_cw, sys.rig,
-        W=W, use_cg=use_cg, iterations=sys.bcfg.ba_iterations)
+        W=W, solver=solver, iterations=sys.bcfg.ba_iterations, mesh=mesh)
     sys.kf_db = sys.kf_db._replace(R=new_R, t=new_t)
     sys.state = sys.state._replace(
         R_cw=R_cur, t_cw=t_cur,
