@@ -95,7 +95,8 @@ def _nms3x3(score):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cell_size", "max_keypoints", "border")
+    jax.jit, static_argnames=("cell_size", "max_keypoints", "border",
+                              "subpixel")
 )
 def select_grid_keypoints(
     score,
@@ -104,6 +105,7 @@ def select_grid_keypoints(
     cell_size: int = 16,
     max_keypoints: int = 512,
     border: int = 16,
+    subpixel: bool = False,
 ):
     """NMS + one-best-per-cell + global top-K of ANY dense score map into a
     fixed table — the selection back half shared by the FAST and Harris
@@ -113,11 +115,18 @@ def select_grid_keypoints(
       score: (H, W) float32 dense detector response (0 = not a feature).
       existing_xy: (M, 2) float32 current keypoints (x, y).
       existing_valid: (M,) bool.
+      subpixel: refine each selected integer peak with a separable 3x3
+        quadratic interpolation on the RAW score plane (±0.5 px), ≡ the
+        reference's cv::cornerSubPix pass
+        (`keypoint_detector_parallel.cpp:160-170`) — detections feed stereo
+        transfer and triangulation directly, so integer-pixel quantization
+        otherwise propagates into depth.
     Returns:
       xy: (max_keypoints, 2) float32, score: (max_keypoints,), valid: (max_keypoints,) bool.
     """
     H, W = score.shape
-    score = _nms3x3(score)
+    raw = score        # pre-NMS response: NMS zeroes the neighbors the
+    score = _nms3x3(score)  # subpixel parabola needs
 
     # border suppression (descriptor/LK windows need margin)
     yy = jnp.arange(H)[:, None]
@@ -163,6 +172,28 @@ def select_grid_keypoints(
     top_score, top_i = jax.lax.approx_max_k(cell_score, k)
     top_xy = cell_xy[top_i]
     valid = top_score > 0.0
+    if subpixel:
+        # separable 1-D parabola fit through the raw 3x3 neighborhood: the
+        # peak of s(x) fit to (s₋, s₀, s₊) is x* = (s₋−s₊)/(2(s₋−2s₀+s₊)).
+        # At an NMS maximum the curvature den ≤ 0; a flat plateau (den ≈ 0)
+        # keeps the integer position. Offsets are intrinsically within
+        # ±0.5 px when s₀ is the max — clipped anyway for safety.
+        xi = top_xy[:, 0].astype(jnp.int32)
+        yi = top_xy[:, 1].astype(jnp.int32)
+
+        def at(dy, dx):
+            return raw[jnp.clip(yi + dy, 0, H - 1),
+                       jnp.clip(xi + dx, 0, W - 1)]
+
+        def parab(lo, c, hi):
+            den = lo - 2.0 * c + hi
+            off = jnp.where(den < -1e-9, 0.5 * (lo - hi) / den, 0.0)
+            return jnp.clip(off, -0.5, 0.5)
+
+        c0 = at(0, 0)
+        off = jnp.stack([parab(at(0, -1), c0, at(0, 1)),
+                         parab(at(-1, 0), c0, at(1, 0))], axis=-1)
+        top_xy = top_xy + jnp.where(valid[:, None], off, 0.0)
     if k < max_keypoints:
         pad = max_keypoints - k
         top_score = jnp.pad(top_score, (0, pad))
@@ -172,7 +203,8 @@ def select_grid_keypoints(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cell_size", "max_keypoints", "border")
+    jax.jit, static_argnames=("cell_size", "max_keypoints", "border",
+                              "subpixel")
 )
 def detect_grid_keypoints(
     img,
@@ -183,6 +215,7 @@ def detect_grid_keypoints(
     max_keypoints: int = 512,
     mask_radius: float = 8.0,
     border: int = 16,
+    subpixel: bool = False,
 ):
     """FAST + NMS + one-best-per-cell + global top-K into a fixed table.
 
@@ -193,4 +226,5 @@ def detect_grid_keypoints(
     score = fast_score(img, threshold)
     return select_grid_keypoints(score, existing_xy, existing_valid,
                                  cell_size=cell_size,
-                                 max_keypoints=max_keypoints, border=border)
+                                 max_keypoints=max_keypoints, border=border,
+                                 subpixel=subpixel)

@@ -40,6 +40,13 @@ class SlamConfig(NamedTuple):
     # detection  (`detection_options.h`: cell 16, FAST)
     cell_size: int = 16
     fast_threshold: float = 10.0 / 255.0
+    # 3x3 quadratic peak interpolation on the dense score plane at
+    # grid-select time (≡ cv::cornerSubPix in the reference's parallel
+    # detector, `keypoint_detector_parallel.cpp:160-170`): detections feed
+    # stereo transfer and triangulation directly, so integer quantization
+    # otherwise propagates into depth. Applies to every score family
+    # (FAST/Harris/DoG) — they share the grid selector.
+    subpixel_detect: bool = True
     detect_border: int = 16
     # tracking   (`tracking_options.h`: klt window, fb check). klt_iters is
     # the UNROLLED Newton iteration count on the Pallas path (measured: cost

@@ -186,12 +186,14 @@ def _detect_topup(cfg: SlamConfig, img_l, feats: FeatureTable, next_track_id):
         det_xy, det_score, det_valid = select_grid_keypoints(
             score, feats.xy, feats.valid, cell_size=cfg.cell_size,
             max_keypoints=cfg.max_keypoints, border=cfg.detect_border,
+            subpixel=cfg.subpixel_detect,
         )
     else:
         det_xy, det_score, det_valid = detect_grid_keypoints(
             img_l, feats.xy, feats.valid,
             threshold=cfg.fast_threshold, cell_size=cfg.cell_size,
             max_keypoints=cfg.max_keypoints, border=cfg.detect_border,
+            subpixel=cfg.subpixel_detect,
         )
     slot, placed = insert_into_free_slots(~feats.valid, det_score, det_valid)
     sl = jnp.where(placed, slot, cfg.max_keypoints)  # drop-mode scatter target
