@@ -44,9 +44,19 @@ def collect_scene(system, est_positions=None, gt_positions=None):
     order = np.argsort(np.asarray(db.frame_idx)[kv])
     kf_R = np.asarray(db.R)[kv][order]
     kf_t = np.asarray(db.t)[kv][order]
+    # 3D keyline segments (≡ the line3d cloud the reference's VTK scene
+    # renders, `vtk_scene_window.cpp` lines section) — empty when the
+    # keyline subsystem is off
+    lm3 = getattr(system.state, "line_map", None)
+    if lm3 is not None:
+        lv = np.asarray(lm3.valid)
+        lines = np.asarray(lm3.xyz)[lv]
+    else:
+        lines = np.zeros((0, 2, 3), np.float32)
     return {
         "points": xyz.astype(np.float32),
         "colors": np.clip(col, 0.0, 1.0).astype(np.float32),
+        "lines": lines.astype(np.float32),
         "kf_R": kf_R.astype(np.float32),
         "kf_t": kf_t.astype(np.float32),
         "est": (np.asarray(est_positions, np.float32)
@@ -149,11 +159,14 @@ function draw(){
     const s=Math.max(1, 3*rad/q[2]); ctx.fillRect(q[0],q[1],s,s);
   }
   for (const seg of SCENE.frusta) polyline(seg, '#4a90d9', 1);
+  for (const seg of SCENE.lines) polyline(seg, '#d9c04a', 1.5);
   polyline(SCENE.gt, '#30c060', 2);
   polyline(SCENE.est, '#e87d2f', 2);
   document.getElementById('hud').textContent =
-    `${pts.length} landmarks · ${SCENE.frusta.length/8} keyframes · ` +
-    `orange=estimated  green=groundtruth · drag to rotate, wheel to zoom`;
+    `${pts.length} landmarks · ${SCENE.lines.length} keylines · ` +
+    `${SCENE.frusta.length/8} keyframes · ` +
+    `orange=estimated  green=groundtruth  yellow=3D keylines · ` +
+    `drag to rotate, wheel to zoom`;
 }
 let drag=null;
 cv.onmousedown=e=>drag=[e.clientX,e.clientY];
@@ -175,6 +188,9 @@ def export_scene_html(path: str, scene: dict) -> None:
     payload = {
         "points": [[round(float(v), 4) for v in p] for p in scene["points"]],
         "colors": [round(float(c), 3) for c in scene["colors"]],
+        "lines": [[[round(float(v), 4) for v in seg[0]],
+                   [round(float(v), 4) for v in seg[1]]]
+                  for seg in scene.get("lines", [])],
         "frusta": frusta,
         "est": [[round(float(v), 4) for v in p] for p in scene["est"]],
         "gt": [[round(float(v), 4) for v in p] for p in scene["gt"]],
@@ -211,6 +227,10 @@ def export_scene_png(path: str, scene: dict) -> None:
         for a, b in _frustum_segments(R, t):
             ax.plot([a[0], b[0]], [a[2], b[2]], [-a[1], -b[1]],
                     color=PALETTE[0], lw=0.6, alpha=0.8)
+    for seg in scene.get("lines", []):
+        a, b = seg
+        ax.plot([a[0], b[0]], [a[2], b[2]], [-a[1], -b[1]],
+                color=PALETTE[3], lw=1.2, alpha=0.9)
     ax.set_xlabel("x [m]")
     ax.set_ylabel("z [m]")
     ax.set_zlabel("-y [m]")

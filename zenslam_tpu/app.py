@@ -30,6 +30,11 @@ def main(argv=None):
     ap.add_argument("--take", type=int, default=0, help="override take_frames")
     ap.add_argument("--no-scene", action="store_true",
                     help="skip the 3D scene export (PLY/HTML/PNG)")
+    ap.add_argument("--viz", action="store_true",
+                    help="write per-keyframe 2D match-overlay PNGs "
+                         "(stereo + temporal ≡ the reference's "
+                         "opencv_window views) and a diagnostics.html "
+                         "report into the output folder")
     ap.add_argument("--save-vocab", default="",
                     help="write the run's trained BoW vocabulary to this "
                          ".npz (reload via backend.vocab_file; ≡ the "
@@ -137,6 +142,12 @@ def main(argv=None):
 
     R = t = None
     tel = None
+    # --viz bookkeeping: keep recent RECTIFIED host frames so the (possibly
+    # telemetry-lagged) keyframe overlay can fetch its images, plus the
+    # previous keyframe's snapshot for the temporal join
+    viz_entries = []
+    viz_imgs = {}
+    viz_prev_snap = None
     frame_iter = reader.frames_prefetch()  # native decode threads ≡ reader_thread
     while True:
         t_wait0 = time.time()
@@ -176,10 +187,29 @@ def main(argv=None):
         dt_ms = (time.time() - t0) * 1000 + wait_ms
         times.append(dt_ms)
         n += 1
+        if args.viz:
+            # retain the rectified DEVICE arrays (materialized only at
+            # keyframes — --viz is a diagnostics mode, the occasional
+            # blocking read is the product)
+            viz_imgs[n - 1] = (il, ir)
         if tel_i is None:
             continue
         tel = tel_i
         R, t = emit(tel, info, dt_ms)
+        if args.viz and bool(tel.is_keyframe) and system is not None \
+                and system.last_kf_snap is not None \
+                and info["frame"] in viz_imgs:
+            from zenslam_tpu.analysis.overlays import save_keyframe_overlays
+
+            l_img, r_img = viz_imgs[info["frame"]]
+            viz_entries.append(save_keyframe_overlays(
+                os.path.join(opts.folder.output, "viz"), info["frame"],
+                np.asarray(l_img), np.asarray(r_img),
+                system.last_kf_snap, viz_prev_snap))
+            viz_prev_snap = system.last_kf_snap
+        if args.viz:
+            for k in [k for k in viz_imgs if k < info["frame"] - 1]:
+                del viz_imgs[k]
         if n % 50 == 0:
             print(f"frame {n}: {np.mean(times[-50:]):.1f} ms/frame, "
                   f"map {int(tel.map_size)}, inliers {int(tel.n_pose_inliers)}")
@@ -189,6 +219,17 @@ def main(argv=None):
         for tel_i, info in flush_pipeline(system):
             tel = tel_i
             R, t = emit(tel, info, 0.0)
+            if args.viz and bool(tel.is_keyframe) \
+                    and system.last_kf_snap is not None \
+                    and info["frame"] in viz_imgs:
+                from zenslam_tpu.analysis.overlays import save_keyframe_overlays
+
+                l_img, r_img = viz_imgs[info["frame"]]
+                viz_entries.append(save_keyframe_overlays(
+                    os.path.join(opts.folder.output, "viz"), info["frame"],
+                    np.asarray(l_img), np.asarray(r_img),
+                    system.last_kf_snap, viz_prev_snap))
+                viz_prev_snap = system.last_kf_snap
 
     telemetry.close()
     traj_f.close()
@@ -217,6 +258,28 @@ def main(argv=None):
                              est_positions=est_pos, gt_positions=gt_pos)
         print(f"scene export: {len(scene['points'])} landmarks -> "
               f"{opts.folder.output}/scene.{{ply,html}} + scene_3d.png")
+    if args.viz and viz_entries:
+        from zenslam_tpu.analysis.overlays import export_viz_report
+
+        # timing plots rendered from the run's own telemetry feed the report
+        # (the imgui_controls_window substitute)
+        timing_pngs = []
+        try:
+            from zenslam_tpu.analysis.plot_timing_breakdown import (
+                main as plot_main)
+
+            plot_main(["--csv", os.path.join(opts.folder.output,
+                                             "frame_data.csv"),
+                       "--output", os.path.join(opts.folder.output, "plots")])
+            for name in ("timing_stacked.png",):
+                p = os.path.join(opts.folder.output, "plots", name)
+                if os.path.exists(p):
+                    timing_pngs.append(os.path.join("plots", name))
+        except Exception as e:  # plots are garnish; overlays are the product
+            print(f"viz: timing plots skipped ({e})")
+        report = export_viz_report(opts.folder.output, viz_entries,
+                                   timing_pngs)
+        print(f"viz: {len(viz_entries)} keyframe overlay pairs -> {report}")
     if args.save_vocab and system is not None and system.vocab is not None:
         from zenslam_tpu.backend.bow import save_vocabulary
 
