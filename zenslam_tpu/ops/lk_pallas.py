@@ -38,8 +38,12 @@ Measured design choices (v5e, 512 pts, 1024x1024, 4 levels, r=10):
   Selector rows/cols have <=2 nonzeros (bilinear taps) so bf16 inputs lose
   nothing beyond the uint8 sensor quantization already in the pixels
   (measured 0.03 px vs the f32 kernel).
-- Block size B=4: B=8/16 are SLOWER (selector fields are (BG, B*32) — the
-  VPU work grows quadratically in B and overtakes the amortization win).
+- Block size: B=4 was optimal with one-hot selectors (B=8/16 slower — the
+  (BG, B*32) selector fields grow quadratically in B and the per-point
+  one-hot VPU work overtook the amortization win). With the cheaper
+  TRIANGLE selectors (below) the balance moved: B=8 measured ~10% faster
+  than B=4 (2.31 vs 2.66 ms/call standalone) and B=16 slower again; the
+  pipeline uses B=8.
 - PER-LEVEL iteration schedule (``iters`` may be a fine→coarse tuple):
   coarse levels only need to land within the next level's convergence
   radius (~``radius`` px), which 2-3 Newton steps achieve; the finest level

@@ -95,7 +95,7 @@ def _lk_fb(cfg: SlamConfig, prev_pyr, next_pyr, tsizes, pts, valid, init_pts=Non
             radius=cfg.klt_radius, iters=iters,
             bwd_levels=cfg.klt_bwd_levels,
             compute_err=False,  # no pipeline consumer; fb check gates quality
-            fb_threshold=cfg.fb_threshold, block=4, sizes=tsizes, unroll=True,
+            fb_threshold=cfg.fb_threshold, block=8, sizes=tsizes, unroll=True,
         )
     prev_stack, sizes = ragged_to_stacked(prev_pyr, tsizes)
     next_stack, _ = ragged_to_stacked(next_pyr, tsizes)
