@@ -89,3 +89,16 @@ class TestEurocRecipe:
             "--expected",
             os.path.join(REPO, "options", "euroc_mh_expected.json")])
         assert rc == 1
+
+
+def test_recipe_yamls_parse_into_options():
+    """Every shipped EuRoC recipe must load through the options layer
+    (including the keylines variant, r4 verdict Weak #6)."""
+    from zenslam_tpu.config.options import load_options
+
+    for name in ("euroc_mh.yaml", "euroc_mh_lines.yaml"):
+        opts = load_options(os.path.join(REPO, "options", name))
+        assert opts.backend.ba_every_kf
+        assert opts.slam.use_clahe
+        if "lines" in name:
+            assert opts.slam.use_keylines
