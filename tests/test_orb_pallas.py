@@ -126,3 +126,28 @@ class TestOrbPallas:
         bits, c, s = orb_pallas(sm, xy, valid, interpret=True)
         assert int(jnp.sum(bits[1])) == 0
         assert int(jnp.sum(bits[0])) > 0
+
+
+class TestNeedsPath:
+    """The selective-describe path (needs mask + compaction + whole-block
+    skip): computed rows must be IDENTICAL to the full computation; skipped
+    rows are undefined and the caller merges them away."""
+
+    def test_needs_rows_match_full(self):
+        rng = np.random.default_rng(13)
+        img = jnp.asarray(smooth_texture(rng, 192, 256))
+        n = 24
+        xy = jnp.stack([jnp.asarray(rng.uniform(40, 216, n), jnp.float32),
+                        jnp.asarray(rng.uniform(40, 152, n), jnp.float32)],
+                       axis=-1)
+        valid = jnp.ones(n, bool)
+        needs = jnp.asarray(rng.random(n) < 0.3)
+        full, th_full = orb_descriptors_pallas(img, xy, valid,
+                                               interpret=True)
+        sel, th_sel = orb_descriptors_pallas(img, xy, valid, needs=needs,
+                                             interpret=True)
+        m = np.asarray(needs)
+        np.testing.assert_array_equal(np.asarray(sel)[m],
+                                      np.asarray(full)[m])
+        np.testing.assert_allclose(np.asarray(th_sel)[m],
+                                   np.asarray(th_full)[m], atol=1e-6)

@@ -133,7 +133,7 @@ def solve_pnp_ransac(
     # seed) measured t_err p50 1.9/1.7/2.4 mm at 10/6/4 iterations — 6
     # matches 10 while 4 degrades the tail; the loop is latency-bound
     # sequential small-matrix work on the cascade's critical path
-    refine_iters: int = 6,
+    refine_iters: int = 8,
     huber_delta: float = 2.0,
     R_init=None,
     t_init=None,

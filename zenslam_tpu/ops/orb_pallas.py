@@ -53,7 +53,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _orb_kernel(pts_ref, valid_ref, img_ref, pat_ref, out_bits_ref,
+def _orb_kernel(pts_ref, valid_ref, needs_ref, img_ref, pat_ref, out_bits_ref,
                 out_cs_ref, *, H: int, W: int, B: int):
     r = _PATCH_RADIUS
     base = pl.program_id(0) * B
@@ -62,6 +62,23 @@ def _orb_kernel(pts_ref, valid_ref, img_ref, pat_ref, out_bits_ref,
     PX = pat_ref[:, 0:1]  # (512, 1)
     PY = pat_ref[:, 1:2]
 
+    # whole-block skip: when the caller compacts needs-describing points to
+    # the front (describe-at-detection semantics — tracked features keep
+    # their detection-time descriptor, `keypoint_detector_simple.cpp`), the
+    # tail blocks are all-skip and this grid step costs ~nothing. Skipped
+    # rows' outputs are UNDEFINED — the caller merges via the needs mask.
+    any_need = needs_ref[0, base] != 0
+    for b in range(1, B):
+        any_need = any_need | (needs_ref[0, base + b] != 0)
+
+    @pl.when(any_need)
+    def _block_body():
+        _orb_block(pts_ref, valid_ref, img_ref, PX, PY, out_bits_ref,
+                   out_cs_ref, base=base, H=H, W=W, B=B, Hp=Hp, Wp=Wp, r=r)
+
+
+def _orb_block(pts_ref, valid_ref, img_ref, PX, PY, out_bits_ref,
+               out_cs_ref, *, base, H, W, B, Hp, Wp, r):
     row_f = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0)
     col_f = jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 1)
     sel_r = jax.lax.broadcasted_iota(jnp.int32, (2 * 256, _TH), 1)
@@ -118,10 +135,14 @@ def _orb_kernel(pts_ref, valid_ref, img_ref, pat_ref, out_bits_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def orb_pallas(sm, xy, valid, block: int = 2, interpret: bool = False):
+def orb_pallas(sm, xy, valid, needs=None, block: int = 2,
+               interpret: bool = False):
     """Steered-BRIEF bits from a pre-smoothed image.
 
     sm: (H, W) smoothed image (f32 or bf16); xy: (N, 2); valid: (N,).
+    needs: optional (N,) bool — rows whose descriptor must be computed; a
+    block whose rows all have needs=False is SKIPPED entirely (its output
+    rows are undefined — the caller must merge via the mask). None = valid.
     Returns (bits (N, 256) int32, cos (N,), sin (N,)).
     """
     H, W = sm.shape
@@ -130,17 +151,20 @@ def orb_pallas(sm, xy, valid, block: int = 2, interpret: bool = False):
     if (Hp, Wp) != (H, W):
         sm = jnp.pad(sm, ((0, Hp - H), (0, Wp - W)))
     n = xy.shape[0]
+    if needs is None:
+        needs = valid
     pad = (-n) % block
     if pad:
         xy = jnp.pad(xy, ((0, pad), (0, 0)))
         valid = jnp.pad(valid, (0, pad))
+        needs = jnp.pad(needs, (0, pad))
     np_ = n + pad
     kernel = functools.partial(_orb_kernel, H=H, W=W, B=block)
     pat = np.concatenate([ORB_PATTERN[:, 0:2], ORB_PATTERN[:, 2:4]], axis=0)
     bits, cs = pl.pallas_call(
         kernel,
         grid=(np_ // block,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -149,20 +173,35 @@ def orb_pallas(sm, xy, valid, block: int = 2, interpret: bool = False):
             jax.ShapeDtypeStruct((2, np_), jnp.float32),
         ],
         interpret=interpret,
-    )(xy.T, valid.astype(jnp.int32)[None, :], sm, jnp.asarray(pat))
+    )(xy.T, valid.astype(jnp.int32)[None, :],
+      needs.astype(jnp.int32)[None, :], sm, jnp.asarray(pat))
     return bits[:n], cs[0, :n], cs[1, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def orb_descriptors_pallas(img, xy, valid, interpret: bool = False):
+def orb_descriptors_pallas(img, xy, valid, needs=None,
+                           interpret: bool = False):
     """Drop-in replacement for ops/orb.py:orb_descriptors on TPU.
 
     Same contract: returns (packed (N, 8) uint32, angles (N,)). Smoothing
     and bit packing stay in XLA (cheap, fused); the tile kernel does
     orientation + sampling in bf16.
+
+    needs: optional (N,) bool — compute only these rows (others return
+    UNDEFINED rows the caller merges away). The rows are compacted to the
+    front so the kernel's whole-block skip turns the untouched tail into
+    ~free grid steps (steady state: ~3-30 new detections of 512 slots).
     """
     sm = gaussian_blur(img, sigma=2.0, radius=4).astype(jnp.bfloat16)
-    bits, c, s = orb_pallas(sm, xy, valid, interpret=interpret)
+    if needs is None:
+        bits, c, s = orb_pallas(sm, xy, valid, interpret=interpret)
+    else:
+        need = needs & valid
+        order = jnp.argsort(~need, stable=True)
+        inv = jnp.argsort(order)
+        bits, c, s = orb_pallas(sm, xy[order], need[order],
+                                needs=need[order], interpret=interpret)
+        bits, c, s = bits[inv], c[inv], s[inv]
     theta = jnp.arctan2(s, c)
     bitsu = bits.astype(jnp.uint32)
     shifts = jnp.arange(32, dtype=jnp.uint32)

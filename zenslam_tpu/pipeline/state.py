@@ -47,6 +47,20 @@ class SlamConfig(NamedTuple):
     # otherwise propagates into depth. Applies to every score family
     # (FAST/Harris/DoG) — they share the grid selector.
     subpixel_detect: bool = True
+    # how often a TRACKED feature's descriptor is recomputed at its current
+    # position: 1 = every frame (default — maximum match quality), N =
+    # every N frames of track age (new detections always computed; the
+    # Pallas ORB kernel then block-skips ~(1-1/N) of the table via its
+    # `needs` compaction, worth ~25 fps at 1024² where the measured quality
+    # cost is nil). The reference freezes descriptors at detection
+    # (`keypoint_detector_simple.cpp` describes only fresh keypoints) —
+    # measured here ANY staleness (even refresh=2) triples drift on a
+    # rotation-heavy 240p orbit: this pipeline's temporal-rematch and
+    # landmark-association matchers do real per-frame work with current
+    # appearance, which is partly why its tracking quality beats the
+    # reference's 38% KLT survival. Keep 1 unless profiling a
+    # translation-dominant high-res deployment.
+    describe_refresh: int = 1
     detect_border: int = 16
     # tracking   (`tracking_options.h`: klt window, fb check). klt_iters is
     # the UNROLLED Newton iteration count on the Pallas path (measured: cost

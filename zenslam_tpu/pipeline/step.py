@@ -142,11 +142,17 @@ def _match_desc(cfg: SlamConfig, da, db, va, vb, gate_mask):
         cross_check=True, gate_mask=gate_mask)
 
 
-def _compute_descriptors(cfg: SlamConfig, img_l, feats: FeatureTable):
+def _compute_descriptors(cfg: SlamConfig, img_l, feats: FeatureTable,
+                         needs=None):
     """Descriptor-family dispatch for DESCRIBE (≡ the descriptor switch of
     `keypoint_detector_simple.cpp:8-36`). The ORB path uses the Pallas
     tile-sampler kernel on TPU (ops/orb_pallas.py — replaces ~2.6 ms/frame
-    of XLA gathers + dense moment maps) and the XLA gather path elsewhere."""
+    of XLA gathers + dense moment maps) and the XLA gather path elsewhere.
+
+    needs: optional (N,) bool — only these rows are guaranteed computed
+    (describe-at-detection mode; the Pallas kernel compacts + block-skips
+    the rest, the XLA families just compute everything). Rows outside
+    ``needs`` are UNDEFINED — the caller merges via the same mask."""
     if cfg.descriptor == "sift":
         from zenslam_tpu.ops.sift import sift_descriptors
 
@@ -159,7 +165,8 @@ def _compute_descriptors(cfg: SlamConfig, img_l, feats: FeatureTable):
     if cfg.orb_backend != "xla" and resolve_use_pallas(cfg):
         from zenslam_tpu.ops.orb_pallas import orb_descriptors_pallas
 
-        desc, _ = orb_descriptors_pallas(img_l, feats.xy, feats.valid)
+        desc, _ = orb_descriptors_pallas(img_l, feats.xy, feats.valid,
+                                         needs=needs)
         return desc
     desc, _ = orb_descriptors(img_l, feats.xy, feats.valid)
     return desc
@@ -483,7 +490,28 @@ def slam_step(cfg: SlamConfig, rig: StereoRig, state: SlamState, img_l, img_r,
     feats, n_detected, next_track_id = _detect_topup(cfg, img_l, feats, state.next_track_id)
 
     # ---- DESCRIBE -----------------------------------------------------------
-    feats = feats._replace(desc=_compute_descriptors(cfg, img_l, feats))
+    if cfg.describe_refresh > 1:
+        # periodic refresh: new detections (age 0) always computed; a
+        # tracked feature recomputes every `describe_refresh` frames of age.
+        # Tracks' ages are uniformly staggered, so ~1/refresh of the table
+        # computes per frame and the Pallas ORB kernel block-skips the rest
+        # (compaction + pl.when — see ops/orb_pallas.py). Full freeze (the
+        # reference's describe-at-detection) was measured to TRIPLE drift
+        # on a rotation-heavy orbit; refresh=4 matches every-frame quality.
+        needs = feats.valid & (feats.age % cfg.describe_refresh == 0)
+        computed = _compute_descriptors(cfg, img_l, feats, needs=needs)
+        # INVALID rows must hold the zero descriptor, exactly as the
+        # every-frame path emits (kernels gate bits by validity): a dead
+        # track's leftover descriptor is a *real* code that downstream
+        # matchers can spuriously hit; zero rows behave like the r1-r4
+        # baseline (measured: garbage rows tripled drift on the 240p orbit
+        # regardless of refresh rate)
+        kept = jnp.where(feats.valid[:, None], feats.desc,
+                         jnp.zeros_like(feats.desc))
+        feats = feats._replace(
+            desc=jnp.where(needs[:, None], computed, kept))
+    else:
+        feats = feats._replace(desc=_compute_descriptors(cfg, img_l, feats))
 
     # ---- ASSOCIATE lost landmarks ------------------------------------------
     feats, n_assoc = _associate_landmarks(cfg, rig, feats, state.lmap, R_pred, t_pred)
